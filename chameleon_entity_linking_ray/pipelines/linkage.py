@@ -1,0 +1,199 @@
+"""The flagship pipeline: transcripts -> entity clusters.
+
+Engine shape (SURVEY.md §7.1), end-to-end as streaming Dataset flows with
+optional per-stage checkpoints:
+
+    read_parquet(transcripts)
+      -> map_batches(MentionExtractor)                 # stateless, Arrow
+      -> groupby(norm).count()   = surface vocabulary  # SHUFFLE 1
+      -> map_batches(LshBander)  bands + token blocks  # stateless numpy
+      -> groupby(bucket).map_groups(make_pairs)        # SHUFFLE 2 (skew-capped)
+      -> groupby(pbucket).map_groups(dedup)            # SHUFFLE 3 pair dedup
+      -> map_batches(PairScorer, concurrency=N)        # actor pool + broadcast IDF
+      -> filter(score > theta) -> edges                # vectorized
+      -> connected_components(...)                     # SHUFFLE 4..k (or driver UF)
+      -> mentions x assignments hash join on node      # join back
+      -> sort(conv_id, turn_idx)                       # output invariant
+
+All heavy stages run over DISTINCT normalized surfaces (the vocabulary),
+not mention instances — mentions with equal norm share their cluster by
+construction (node = hash64(norm)).
+
+Reference flow this reproduces: CrossEncoder/test.py's load -> block ->
+score -> rank loop (/root/reference/CrossEncoder/test.py:16-112) recast per
+BASELINE.json's north rule as blocking + pairwise scoring + transitive
+clustering.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import asdict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data import Dataset
+
+from chameleon_entity_linking_ray.config import LinkageConfig
+from chameleon_entity_linking_ray.stages.blocking import (
+    LshBander,
+    add_pair_bucket,
+    dedup_pairs_fn,
+    make_pair_generator,
+)
+from chameleon_entity_linking_ray.stages.cluster import connected_components
+from chameleon_entity_linking_ray.stages.extract import MentionExtractor
+from chameleon_entity_linking_ray.stages.joins import hash_join
+from chameleon_entity_linking_ray.stages.scoring import PairScorer
+from chameleon_entity_linking_ray.stages.stats import build_idf_stats
+from chameleon_entity_linking_ray.stages.vocab import add_node_column, build_vocab
+from chameleon_entity_linking_ray.state.checkpoint import (
+    CheckpointManager,
+    fingerprint,
+    input_fingerprint,
+)
+
+
+def extract_mentions(transcripts: Dataset, config: LinkageConfig) -> Dataset:
+    return transcripts.map_batches(
+        MentionExtractor(config), batch_format="pyarrow", batch_size=config.batch_size)
+
+
+def generate_pairs(vocab: Dataset, config: LinkageConfig) -> Dataset:
+    banded = vocab.map_batches(
+        LshBander(config), batch_format="pyarrow", batch_size=config.batch_size)
+    # SHUFFLE: bucketed by hash(block_key) — vectorized pair-gen per bucket
+    pairs = banded.groupby("bucket").map_groups(
+        make_pair_generator(config), batch_format="pandas")
+    # SHUFFLE: bucketed by hash(pair key) — vectorized exact dedup
+    pairs = pairs.map_batches(add_pair_bucket(config.num_hash_buckets),
+                              batch_format="pyarrow")
+    return pairs.groupby("pbucket").map_groups(
+        dedup_pairs_fn(), batch_format="pandas").drop_columns(["pbucket"])
+
+
+def score_pairs(pairs: Dataset, config: LinkageConfig, stats_ref=None) -> Dataset:
+    return pairs.map_batches(
+        PairScorer, fn_constructor_kwargs={"config": config, "stats_ref": stats_ref},
+        batch_format="pyarrow", batch_size=config.batch_size,
+        concurrency=config.scorer_concurrency)
+
+
+def matched_edges(scored: Dataset, config: LinkageConfig) -> Dataset:
+    """score > theta -> int64 edge table (u, v) on surface node ids."""
+    thr = config.score_threshold
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch.column("score"), pa.scalar(thr, pa.float32())))
+        return pa.table({"u": b.column("left_id"), "v": b.column("right_id")})
+
+    return scored.map_batches(to_edges, batch_format="pyarrow")
+
+
+def assign_clusters(mentions: Dataset, assignments: Dataset,
+                    config: LinkageConfig) -> Dataset:
+    """Left-join mentions (via node = hash(norm)) with CC assignments;
+    singleton surfaces cluster to their own node id. Output sorted by
+    (conv_id, turn_idx, span_start) — the stable-order invariant."""
+    with_node = mentions.map_batches(add_node_column(), batch_format="pyarrow")
+
+    # empty sides lose their schema through the hash join — short-circuit
+    if assignments.count() == 0 or mentions.count() == 0:
+        def own_cluster(batch: pa.Table) -> pa.Table:
+            return batch.append_column("cluster_id",
+                                       pc.cast(batch.column("node"), pa.int64()))
+
+        return with_node.map_batches(own_cluster, batch_format="pyarrow") \
+                        .sort(["conv_id", "turn_idx", "span_start"])
+
+    joined = hash_join(with_node, assignments, on=("node",), join_type="left_outer",
+                       num_partitions=config.num_hash_buckets)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cluster = pc.coalesce(batch.column("cluster"), batch.column("node"))
+        return batch.drop_columns(["cluster"]).append_column(
+            "cluster_id", pc.cast(cluster, pa.int64()))
+
+    return joined.map_batches(finalize, batch_format="pyarrow") \
+                 .sort(["conv_id", "turn_idx", "span_start"])
+
+
+def run_linkage(transcripts: Dataset, config: LinkageConfig | None = None,
+                checkpoint_dir: str | None = None,
+                input_paths: list[str] | None = None) -> tuple[Dataset, dict]:
+    """Full pipeline. Returns (clustered mentions Dataset, stage metrics).
+
+    With ``checkpoint_dir``, each stage's output is written atomically and a
+    rerun resumes after the last completed stage (same input + config
+    fingerprint), per the north rule's resumability requirement.
+    """
+    config = config or LinkageConfig()
+    ckpt = None
+    if checkpoint_dir:
+        fp = fingerprint(asdict(config),
+                         input_fingerprint(input_paths or []) if input_paths else "mem")
+        ckpt = CheckpointManager(checkpoint_dir, fp)
+
+    metrics: dict = {}
+
+    def stage(name: str, upstream: list[str], fn, *args) -> Dataset:
+        if ckpt and ckpt.has(name):
+            metrics[name] = {"resumed": True}
+            return ckpt.load(name)
+        t0 = time.time()
+        ds = fn(*args)
+        if ckpt:
+            ds = ckpt.save(name, ds, upstream, t0)
+        return ds
+
+    mentions = stage("mentions", ["input"], extract_mentions, transcripts, config)
+    if not ckpt:
+        # two consumers (vocab + final join-back) — pin once, don't recompute
+        mentions = mentions.materialize()
+
+    vocab = stage("vocab", ["mentions"], build_vocab, mentions)
+    if not ckpt:
+        vocab = vocab.materialize()  # consumed by IDF stats + banding
+
+    pairs = stage("pairs", ["vocab"], generate_pairs, vocab, config)
+
+    # corpus DF statistics: distributed aggregate -> ray.put ONCE -> read by
+    # every scorer actor in __init__ (broadcast small side, never re-shipped)
+    t0 = time.time()
+    stats_ref = ray.put(build_idf_stats(vocab, config))
+    metrics["idf_stats"] = {"wall_sec": round(time.time() - t0, 3)}
+
+    scored = stage("scores", ["pairs"], score_pairs, pairs, config, stats_ref)
+    edges = matched_edges(scored, config)
+
+    if ckpt and ckpt.has("assignments"):
+        assignments = ckpt.load("assignments")
+        metrics["assignments"] = {"resumed": True}
+        cc_stats = {}
+    else:
+        t0 = time.time()
+        assignments, cc_stats = connected_components(
+            edges, num_partitions=config.num_hash_buckets,
+            max_rounds=config.max_cc_rounds)
+        if ckpt:
+            assignments = ckpt.save("assignments", assignments, ["scores"], t0)
+
+    clustered = stage("clusters", ["assignments", "mentions"],
+                      assign_clusters, mentions, assignments, config)
+
+    if ckpt:
+        for name, ent in ckpt.metrics().items():
+            merged = dict(ent)
+            merged.update(metrics.get(name, {}))
+            metrics[name] = merged
+    metrics.update(cc_stats)
+    return clustered, metrics
+
+
+def run_linkage_on_parquet(path: str, config: LinkageConfig | None = None,
+                           checkpoint_dir: str | None = None) -> tuple[Dataset, dict]:
+    # prune at the read: extraction only needs these three columns
+    ds = ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+    return run_linkage(ds, config, checkpoint_dir, input_paths=[path])

@@ -1,0 +1,172 @@
+"""MinHash-LSH + token blocking, and candidate-pair generation.
+
+The scalable replacement for the reference's candidate generation (BM25 run
+file blocking, /root/reference/BiEncoder/test.py:63-79, and FAISS top-k,
+/root/reference/BiEncoder/test_retrieval.py:43-76). Two complementary
+stateless blockers run in one ``map_batches`` over the surface vocabulary:
+
+- **LSH bands** over char-shingle MinHash — catch typo variants (high
+  Jaccard, e.g. "wayne industries" ~ "wbyne industries");
+- **token blocks** (one block per distinct token) — catch subset/
+  abbreviation variants whose char Jaccard is low (e.g. "hooli" ~
+  "hooli industries" share the token block "hooli").
+
+Shuffle design: grouping by raw ``block_key`` would make millions of tiny
+groups and pay a Python call per group. Instead rows are shuffled by
+``bucket = hash(block_key) % num_hash_buckets`` — every member of a block
+lands in the same bucket, ``map_groups`` runs once per BUCKET, and pair
+generation inside is pure vectorized numpy over runs of equal block keys
+(no per-block Python loop).
+
+Skew handling (SURVEY.md §4): blocks larger than ``max_block_size`` (hot
+tokens — a tool name in every transcript) switch from all-pairs to windowed
+pairing over the lexicographically sorted members — each member pairs with
+its next ``pair_window`` neighbors, capping pairs at n*W instead of n^2/2
+while keeping near-identical surfaces (sort-adjacent) paired; rare-token
+blocks and LSH bands provide the high-recall candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from chameleon_entity_linking_ray.config import LinkageConfig
+from chameleon_entity_linking_ray.functions.hashing import hash64, mix64
+from chameleon_entity_linking_ray.functions.minhash import lsh_band_keys, minhash_signatures
+
+
+class LshBander:
+    """map_batches over the vocab: one row per (surface, band) and per
+    (surface, token) + shuffle bucket. id col is int64 ``node``."""
+
+    def __init__(self, config: LinkageConfig | None = None, id_col: str = "node",
+                 text_col: str = "norm", token_blocks: bool = True):
+        self.c = config or LinkageConfig()
+        self.id_col = id_col
+        self.text_col = text_col
+        self.token_blocks = token_blocks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        c = self.c
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        sigs = minhash_signatures(texts, c.shingle_k, c.num_perm, c.minhash_seed)
+        keys = lsh_band_keys(sigs, c.num_bands, c.minhash_seed)  # [n, bands] uint64
+        bands = keys.shape[1]
+        rep = np.repeat(np.arange(n, dtype=np.int64), bands)
+        flat_keys = keys.reshape(-1)
+
+        if self.token_blocks:
+            token_lists = [list(dict.fromkeys(t.split())) for t in texts]
+            counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
+            if counts.sum():
+                toks = [tok for ts in token_lists for tok in ts]
+                tok_keys = mix64(hash64(toks), seed=101)
+                tok_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+                rep = np.concatenate([rep, tok_rep])
+                flat_keys = np.concatenate([flat_keys, tok_keys])
+
+        take = pa.array(rep)
+        return pa.table({
+            self.id_col: batch.column(self.id_col).take(take),
+            self.text_col: batch.column(self.text_col).take(take),
+            "block_key": pa.array(flat_keys.view(np.int64), pa.int64()),
+            "bucket": pa.array((mix64(flat_keys, seed=11) %
+                                np.uint64(c.num_hash_buckets)).astype(np.int32), pa.int32()),
+        })
+
+
+def _run_pairs(counts: np.ndarray, window: int, max_block: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized pair-index generation over runs of equal block keys.
+
+    For a run of size c: all-pairs when c <= max_block, else windowed
+    (each element with its next `window` neighbors). Returns global
+    (left, right) index arrays. No Python loop over runs.
+    """
+    total = int(counts.sum())
+    starts = np.zeros(len(counts), dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    c_of = np.repeat(counts, counts)
+    rem = c_of - within - 1  # rights available after each element
+    lcounts = np.where(c_of <= max_block, rem, np.minimum(rem, window))
+    P = int(lcounts.sum())
+    if P == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    li = np.repeat(np.arange(total, dtype=np.int64), lcounts)
+    seg_starts = np.zeros(total, dtype=np.int64)
+    seg_starts[1:] = np.cumsum(lcounts)[:-1]
+    ri = np.arange(P, dtype=np.int64) - np.repeat(seg_starts, lcounts) + li + 1
+    return li, ri
+
+
+def make_pair_generator(config: LinkageConfig | None = None, id_col: str = "node",
+                        text_col: str = "norm"):
+    """Per-BUCKET pandas fn for ``groupby('bucket').map_groups``.
+
+    Emits canonical (left_id < right_id) candidate pairs carrying both
+    texts so scoring needs no join back to the vocab table (SURVEY.md J1:
+    "carry texts through blocking to avoid the join entirely"). Pairs can
+    repeat across blocks; ``dedup_pairs_fn`` removes them before scoring.
+    """
+    c = config or LinkageConfig()
+
+    def make_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # members sorted by surface: windowed pairing in hot blocks then
+        # pairs lexicographic neighbors (near-identical surfaces adjacent)
+        g = g.drop_duplicates(subset=["block_key", id_col]) \
+             .sort_values(["block_key", text_col], kind="mergesort")
+        bk = g["block_key"].to_numpy()
+        _, counts = np.unique(bk, return_counts=True)
+        li, ri = _run_pairs(counts, c.pair_window, c.max_block_size)
+        if len(li) == 0:
+            return pd.DataFrame({
+                "left_id": pd.Series(dtype=np.int64),
+                "right_id": pd.Series(dtype=np.int64),
+                "left_text": pd.Series(dtype=object),
+                "right_text": pd.Series(dtype=object),
+                "block_key": pd.Series(dtype=np.int64),
+            })
+        ids = g[id_col].to_numpy()
+        texts = g[text_col].to_numpy()
+        lid, rid = ids[li], ids[ri]
+        lt, rt = texts[li], texts[ri]
+        flip = lid > rid
+        lid2 = np.where(flip, rid, lid)
+        rid2 = np.where(flip, lid, rid)
+        lt2 = np.where(flip, rt, lt)
+        rt2 = np.where(flip, lt, rt)
+        return pd.DataFrame({
+            "left_id": lid2, "right_id": rid2,
+            "left_text": lt2, "right_text": rt2,
+            "block_key": bk[li],
+        })
+
+    return make_pairs
+
+
+def add_pair_bucket(num_buckets: int):
+    """Vectorized pair-key bucket column for the dedup shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        left = batch.column("left_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        right = batch.column("right_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = mix64(left ^ mix64(right, seed=23), seed=29)
+        return batch.append_column(
+            "pbucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32()))
+
+    return fn
+
+
+def dedup_pairs_fn():
+    """Per-BUCKET exact pair dedup (vectorized pandas drop_duplicates);
+    keep-first by lowest block_key — same keep-first semantics as the
+    reference's run merge (/root/reference/utils/merge_results.py:14-20)."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["left_id", "right_id", "block_key"], kind="mergesort") \
+                .drop_duplicates(subset=["left_id", "right_id"], keep="first")
+
+    return first
