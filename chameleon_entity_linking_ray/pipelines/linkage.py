@@ -75,10 +75,13 @@ def generate_pairs(vocab: Dataset, config: LinkageConfig) -> Dataset:
 
 
 def score_pairs(pairs: Dataset, config: LinkageConfig, stats_ref=None) -> Dataset:
+    # autoscaling pool (min 1): a fixed pool of N actors would reserve N CPUs
+    # for the pipeline's lifetime and can starve the other stages outright on
+    # small machines (observed as a deadlocked run at num_cpus=4)
     return pairs.map_batches(
         PairScorer, fn_constructor_kwargs={"config": config, "stats_ref": stats_ref},
         batch_format="pyarrow", batch_size=config.batch_size,
-        concurrency=config.scorer_concurrency)
+        concurrency=(1, config.scorer_concurrency))
 
 
 def matched_edges(scored: Dataset, config: LinkageConfig) -> Dataset:
@@ -118,6 +121,73 @@ def assign_clusters(mentions: Dataset, assignments: Dataset,
 
     return joined.map_batches(finalize, batch_format="pyarrow") \
                  .sort(["conv_id", "turn_idx", "span_start"])
+
+
+def annotate_transcripts(transcripts: Dataset, clustered: Dataset,
+                         config: LinkageConfig | None = None) -> Dataset:
+    """Turn-level output: every input turn, text byte-identical, plus typed
+    ``entities: list<struct<start,end,surface,cluster_id>>`` — the engine's
+    run-file analog (/root/reference/BiEncoder/test.py:128-132) satisfying
+    the north-rule per-row invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering.
+    """
+    config = config or LinkageConfig()
+
+    def shrink(batch: pa.Table) -> pa.Table:
+        return batch.select(["conv_id", "turn_idx", "span_start", "span_end",
+                             "surface", "cluster_id"])
+
+    # pin the small mention table: it is consumed by count() AND the join —
+    # without materialize() the entire upstream linkage lineage re-executes
+    ments = clustered.map_batches(shrink, batch_format="pyarrow").materialize()
+    n_ments = ments.count()
+    if n_ments == 0:
+        def empty_entities(batch: pa.Table) -> pa.Table:
+            ent_type = pa.list_(pa.struct([
+                ("start", pa.int32()), ("end", pa.int32()),
+                ("surface", pa.string()), ("cluster_id", pa.int64())]))
+            return batch.append_column(
+                "entities", pa.array([[]] * batch.num_rows, ent_type))
+
+        return transcripts.map_batches(empty_entities, batch_format="pyarrow") \
+                          .sort(["conv_id", "turn_idx"])
+
+    joined = hash_join(transcripts, ments, on=("conv_id", "turn_idx"),
+                       join_type="left_outer", num_partitions=config.num_hash_buckets)
+
+    # collapse the join fan-out back to one row per turn with an entity list;
+    # bucketed by conv hash so map_groups runs per bucket, vectorized inside
+    import numpy as np
+    import pandas as pd
+
+    from chameleon_entity_linking_ray.functions.hashing import hash64 as _h64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (_h64(batch.column("conv_id").to_pylist()) %
+             np.uint64(config.num_hash_buckets)).astype(np.int32)
+        return batch.append_column("tbucket", pa.array(b, pa.int32()))
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        turn_cols = [c for c in g.columns if c not in
+                     ("span_start", "span_end", "surface", "cluster_id", "tbucket")]
+
+        def ents(sub: pd.DataFrame) -> list:
+            if sub["span_start"].isna().all():
+                return []
+            sub = sub.sort_values("span_start")
+            return [{"start": int(s), "end": int(e), "surface": str(sf),
+                     "cluster_id": int(c)}
+                    for s, e, sf, c in zip(sub["span_start"], sub["span_end"],
+                                           sub["surface"], sub["cluster_id"])]
+
+        first = g.drop_duplicates(["conv_id", "turn_idx"])[turn_cols] \
+                 .set_index(["conv_id", "turn_idx"])
+        first["entities"] = g.groupby(["conv_id", "turn_idx"], sort=False).apply(ents)
+        return first.reset_index()
+
+    return joined.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("tbucket").map_groups(collapse, batch_format="pandas") \
+        .sort(["conv_id", "turn_idx"])
 
 
 def run_linkage(transcripts: Dataset, config: LinkageConfig | None = None,

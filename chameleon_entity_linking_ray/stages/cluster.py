@@ -6,38 +6,87 @@ connected components; cluster_id = min node id in the component.
 
 Algorithm: alternating large-star / small-star contraction (Kiveris et al.,
 "Connected Components in MapReduce and Beyond" — see PAPERS.md), expressed
-entirely as Ray Data shuffles: per round a symmetrize (`union`), a native
-``groupby('u').aggregate(Min('v'))`` (vectorized partial-then-final — no
-per-row Python), a hash-partitioned ``Dataset.join`` to attach each node's
-min-neighbor, vectorized Arrow emits, and a multiset-stable checksum for
-fixpoint detection. Converges in O(log n) rounds; every step streams —
-no driver-side graph is ever built.
+entirely as BUCKETED Ray Data shuffles: each star step is one
+``groupby(bucket).map_groups`` where bucket = hash(u) % B, so the Python
+callback runs once per bucket and the per-node min-neighbor computation is a
+vectorized pandas ``groupby('u').transform('min')`` inside. No joins, no
+per-node Python calls, O(log n) rounds, nothing driver-side except an
+order-independent checksum per round for fixpoint detection.
+
+A driver union-find fast path handles provably-small edge sets (matched
+pairs after thresholding are a small fraction of the input) in one pass.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Min
 
 from chameleon_entity_linking_ray.functions.hashing import mix64
-from chameleon_entity_linking_ray.stages.joins import hash_join
 
 _M64 = (1 << 64) - 1
 
 
-def _swap(batch: pa.Table) -> pa.Table:
-    return pa.table({"u": batch.column("v"), "v": batch.column("u")})
+def _sym_with_bucket(edges: Dataset, num_buckets: int) -> Dataset:
+    """(u,v) -> both directions, plus bucket = hash(u) % B."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        uu = np.concatenate([u, v])
+        vv = np.concatenate([v, u])
+        b = (mix64(uu.astype(np.uint64), seed=13) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({"u": pa.array(uu, pa.int64()),
+                         "v": pa.array(vv, pa.int64()),
+                         "bucket": pa.array(b, pa.int32())})
+
+    return edges.map_batches(expand, batch_format="pyarrow")
 
 
-def _symmetrize(edges: Dataset) -> Dataset:
-    return edges.union(edges.map_batches(_swap, batch_format="pyarrow"))
+_EMPTY_EDGES = {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
 
 
-def _canon_dedup(edges: Dataset, num_partitions: int) -> Dataset:
-    """Canonicalize to (u=min, v=max) and exact-dedup via vectorized groupby."""
+def _large_star_fn(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket: for each node u, connect neighbors v > u to
+    m = min(neighbors(u) + {u}). Vectorized via groupby-transform."""
+    m = g.groupby("u")["v"].transform("min")
+    m = np.minimum(m.to_numpy(), g["u"].to_numpy())
+    keep = g["v"].to_numpy() > g["u"].to_numpy()
+    out_u = g["v"].to_numpy()[keep]
+    out_v = m[keep]
+    ok = out_u != out_v
+    df = pd.DataFrame({"u": out_u[ok], "v": out_v[ok]})
+    return df if len(df) else pd.DataFrame(_EMPTY_EDGES)
+
+
+def _small_star_fn(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket: for each node u, connect smaller neighbors (and u itself)
+    to m = min(smaller-neighbors + {u})."""
+    g = g[g["v"].to_numpy() < g["u"].to_numpy()]
+    if not len(g):
+        return pd.DataFrame(_EMPTY_EDGES)
+    m = g.groupby("u")["v"].transform("min")
+    m = np.minimum(m.to_numpy(), g["u"].to_numpy())
+    # (v, m) for each smaller neighbor + (u, m) once per u
+    per_u = pd.DataFrame({"u": g["u"].to_numpy(), "v": m}).drop_duplicates("u")
+    out_u = np.concatenate([g["v"].to_numpy(), per_u["u"].to_numpy()])
+    out_v = np.concatenate([m, per_u["v"].to_numpy()])
+    ok = out_u != out_v
+    df = pd.DataFrame({"u": out_u[ok], "v": out_v[ok]})
+    return df if len(df) else pd.DataFrame(_EMPTY_EDGES)
+
+
+def _star_step(edges: Dataset, fn, num_buckets: int) -> Dataset:
+    return _sym_with_bucket(edges, num_buckets).groupby("bucket") \
+        .map_groups(fn, batch_format="pandas")
+
+
+def _canon_dedup(edges: Dataset, num_buckets: int) -> Dataset:
+    """Canonicalize to (u=min, v=max), drop self-loops, exact-dedup —
+    bucketed by pair hash, vectorized drop_duplicates per bucket."""
 
     def canon(batch: pa.Table) -> pa.Table:
         u = batch.column("u")
@@ -45,10 +94,19 @@ def _canon_dedup(edges: Dataset, num_partitions: int) -> Dataset:
         lo = pc.min_element_wise(u, v)
         hi = pc.max_element_wise(u, v)
         t = pa.table({"u": lo, "v": hi})
-        return t.filter(pc.not_equal(t.column("u"), t.column("v")))
+        t = t.filter(pc.not_equal(t.column("u"), t.column("v")))
+        h = mix64(t.column("u").to_numpy(zero_copy_only=False).astype(np.uint64) ^
+                  mix64(t.column("v").to_numpy(zero_copy_only=False).astype(np.uint64), seed=3),
+                  seed=7)
+        return t.append_column("bucket", pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int32), pa.int32()))
 
-    e = edges.map_batches(canon, batch_format="pyarrow")
-    return e.groupby(["u", "v"]).aggregate(Min("v", alias_name="_d")).drop_columns(["_d"])
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["u", "v"])[["u", "v"]]
+        return out if len(out) else pd.DataFrame(_EMPTY_EDGES)
+
+    return edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(dedup, batch_format="pandas")
 
 
 def _checksum(edges: Dataset) -> tuple[int, int]:
@@ -70,60 +128,11 @@ def _checksum(edges: Dataset) -> tuple[int, int]:
     return total_h, total_n
 
 
-def _attach_min(sym: Dataset, num_partitions: int) -> Dataset:
-    """(u, v) -> (u, v, m) where m = min(neighbors(u) + {u})."""
-    mins = sym.groupby("u").aggregate(Min("v", alias_name="mv"))
-    joined = hash_join(sym, mins, on=("u",), num_partitions=num_partitions)
-
-    def with_m(batch: pa.Table) -> pa.Table:
-        m = pc.min_element_wise(batch.column("mv"), batch.column("u"))
-        return batch.drop_columns(["mv"]).append_column("m", m)
-
-    return joined.map_batches(with_m, batch_format="pyarrow")
-
-
-def _large_star(edges: Dataset, num_partitions: int) -> Dataset:
-    sym = _symmetrize(edges)
-    t = _attach_min(sym, num_partitions)
-
-    def emit(batch: pa.Table) -> pa.Table:
-        keep = pc.greater(batch.column("v"), batch.column("u"))
-        b = batch.filter(keep)
-        out = pa.table({"u": b.column("v"), "v": b.column("m")})
-        return out.filter(pc.not_equal(out.column("u"), out.column("v")))
-
-    return t.map_batches(emit, batch_format="pyarrow")
-
-
-def _small_star(edges: Dataset, num_partitions: int) -> Dataset:
-    sym = _symmetrize(edges)
-    small = sym.map_batches(
-        lambda b: b.filter(pc.less(b.column("v"), b.column("u"))),
-        batch_format="pyarrow")
-    t = _attach_min(small, num_partitions)
-
-    def emit(batch: pa.Table) -> pa.Table:
-        # (v, m) for each small neighbor v, plus (u, m) — dedup of the (u, m)
-        # rows happens in the canonical dedup pass after the round.
-        out = pa.table({
-            "u": pa.concat_arrays([pc.cast(c, pa.int64()) for c in
-                                   (batch.column("v").combine_chunks(),
-                                    batch.column("u").combine_chunks())]),
-            "v": pa.concat_arrays([pc.cast(c, pa.int64()) for c in
-                                   (batch.column("m").combine_chunks(),
-                                    batch.column("m").combine_chunks())]),
-        })
-        return out.filter(pc.not_equal(out.column("u"), out.column("v")))
-
-    return t.map_batches(emit, batch_format="pyarrow")
-
-
 def _unionfind_assignments(edges: Dataset) -> Dataset:
     """Driver union-find over a provably-small edge set (streamed in
-    batches): the sanctioned fast path when the matched-pair set fits one
-    process — it avoids ~6 all-to-all ops per star round. cluster = min
-    node in component (union by min keeps the root the minimum)."""
-    import pandas as pd
+    batches): avoids the per-round shuffles when the matched-pair set fits
+    one process. cluster = min node in component (union-by-min keeps the
+    root the minimum)."""
     import ray.data
 
     parent: dict[int, int] = {}
@@ -165,16 +174,15 @@ def connected_components(edges: Dataset, num_partitions: int = 32,
 
     Two execution paths:
     - edge count <= ``driver_threshold``: single-pass union-find streamed on
-      the driver (matched edges after thresholding are a small fraction of
-      the input).
-    - larger: fully distributed alternating large-star/small-star loop —
-      O(log n) rounds of groupby/join shuffles; nothing driver-side but an
-      order-independent checksum per round.
+      the driver.
+    - larger: fully distributed alternating star loop — O(log n) rounds of
+      bucketed groupby shuffles; nothing driver-side but a checksum.
     """
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         return _unionfind_assignments(edges), {
             "cc_rounds": 0, "cc_mode": "unionfind", "cc_edges": n_edges}
+
     # materialize() per round truncates the lazy lineage — without it every
     # checksum re-executes all previous rounds. The edge table is the only
     # pinned intermediate and shrinks toward one row per non-root node.
@@ -182,8 +190,8 @@ def connected_components(edges: Dataset, num_partitions: int = 32,
     prev = _checksum(edges)
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        e = _large_star(edges, num_partitions)
-        e = _small_star(e, num_partitions)
+        e = _star_step(edges, _large_star_fn, num_partitions)
+        e = _star_step(e, _small_star_fn, num_partitions)
         e = _canon_dedup(e, num_partitions).materialize()
         cur = _checksum(e)
         edges = e
@@ -191,13 +199,22 @@ def connected_components(edges: Dataset, num_partitions: int = 32,
             break
         prev = cur
 
-    # converged: every edge is (leaf, root) with root = component min.
+    # converged: every canonical edge is (root=u, leaf=v).
     def leaf_rows(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch.column("v"), "cluster": batch.column("u")})
 
+    def root_rows(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["u"])
+        return pd.DataFrame({"node": out["u"].to_numpy(),
+                             "cluster": out["u"].to_numpy()})
+
+    def add_root_bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (mix64(u, seed=17) % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
     leaves = edges.map_batches(leaf_rows, batch_format="pyarrow")
-    roots = edges.groupby("u").aggregate(Min("v", alias_name="_x")).drop_columns(["_x"]) \
-        .map_batches(lambda b: pa.table({"node": b.column("u"), "cluster": b.column("u")}),
-                     batch_format="pyarrow")
+    roots = edges.map_batches(add_root_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(root_rows, batch_format="pandas")
     assignments = leaves.union(roots)
     return assignments, {"cc_rounds": rounds, "cc_mode": "star", "cc_edges": n_edges}

@@ -1,9 +1,17 @@
 """Distributed join / semi-join helpers.
 
 The reference does every join as a driver-side dict lookup (SURVEY.md §2.4);
-here the large-large case is Ray's hash-partitioned ``Dataset.join`` and the
+here the large-large case is a self-built hash-bucketed shuffle join and the
 small-side case is an object-store broadcast (``ray.put`` once, read inside
 each task) — never re-shipped per batch, never a shuffle.
+
+Why not ``Dataset.join``: Ray 2.49's hash-shuffle join spawns one aggregator
+actor per partition up front; with ``num_partitions`` > cluster CPUs the
+actor pool can never be fully placed and the query deadlocks (observed at
+num_cpus=4 / 32 partitions), and fully-empty sides lose their schema and
+crash the join. The bucketed ``groupby(bucket).map_groups`` form below uses
+the same sort-shuffle machinery as every other stage (no actor pool), scales
+with ``num_partitions`` as plain tasks, and pins output schema explicitly.
 """
 
 from __future__ import annotations
@@ -11,19 +19,107 @@ from __future__ import annotations
 from typing import Iterable
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
+
+from chameleon_entity_linking_ray.functions.hashing import hash64, mix64
+
+_HOW = {"inner": "inner", "left_outer": "left", "right_outer": "right",
+        "full_outer": "outer"}
+
+
+def _key_hash(tbl: pa.Table, cols: tuple[str, ...]) -> np.ndarray:
+    h = np.zeros(tbl.num_rows, dtype=np.uint64)
+    for i, c in enumerate(cols):
+        col = tbl.column(c)
+        if pa.types.is_integer(col.type):
+            vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            vals = hash64(col.to_pylist())
+        h ^= mix64(vals, seed=31 + i)
+    return h
 
 
 def hash_join(left: Dataset, right: Dataset, on: tuple[str, ...],
               join_type: str = "inner", num_partitions: int = 32,
               right_on: tuple[str, ...] | None = None,
               left_suffix: str = "", right_suffix: str = "_r") -> Dataset:
-    """Hash-partitioned distributed join (both sides large)."""
-    return left.join(right, join_type=join_type, num_partitions=num_partitions,
-                     on=tuple(on), right_on=tuple(right_on) if right_on else None,
-                     left_suffix=left_suffix or None, right_suffix=right_suffix)
+    """Hash-bucketed distributed equi-join (both sides large).
+
+    Both sides are tagged and bucketed by key hash, unioned under one
+    harmonized Arrow schema (absent columns = typed nulls), shuffled once by
+    ``groupby(bucket)``, and merged per bucket with a vectorized
+    ``pd.merge``. Output schema is pinned so empty buckets / all-null fill
+    columns can never change dtypes between runs.
+    """
+    on = tuple(on)
+    right_on = tuple(right_on) if right_on else on
+    lschema, rschema = left.schema(), right.schema()
+    lnames = list(lschema.names)
+
+    # right value columns (join keys excluded), renamed on collision
+    rmap: dict[str, str] = {}  # right col -> output col
+    for name in rschema.names:
+        if name in right_on:
+            continue
+        out = name + right_suffix if (name in lnames or
+                                      name + right_suffix in lnames) else name
+        rmap[name] = out
+
+    lfields = [(n, lschema.types[lschema.names.index(n)]) for n in lnames]
+    rfields = [(rmap[n], rschema.types[rschema.names.index(n)])
+               for n in rschema.names if n in rmap]
+    out_schema = pa.schema(lfields + rfields)
+    union_schema = pa.schema(lfields + rfields +
+                             [("__side", pa.int8()), ("__jbucket", pa.int32())])
+
+    def tag(side: int, key_cols: tuple[str, ...], rename: dict[str, str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            bucket = (_key_hash(batch, key_cols) %
+                      np.uint64(num_partitions)).astype(np.int32)
+            cols = []
+            for field in union_schema:
+                if field.name == "__side":
+                    cols.append(pa.array(np.full(n, side, np.int8()), pa.int8()))
+                elif field.name == "__jbucket":
+                    cols.append(pa.array(bucket, pa.int32()))
+                else:
+                    src = None
+                    if side == 0 and field.name in lnames:
+                        src = field.name
+                    elif side == 1:
+                        if field.name in on:  # key under left name
+                            src = right_on[on.index(field.name)]
+                        else:
+                            src = next((k for k, v in rename.items()
+                                        if v == field.name), None)
+                    if src is not None and src in batch.column_names:
+                        cols.append(batch.column(src).cast(field.type))
+                    else:
+                        cols.append(pa.nulls(n, field.type))
+            return pa.Table.from_arrays(cols, schema=union_schema)
+        return fn
+
+    # keys present on both sides: on the right they are emitted under the
+    # LEFT key names, so the per-bucket merge is a plain `on=on`
+    tagged = left.map_batches(tag(0, on, {}), batch_format="pyarrow").union(
+        right.map_batches(tag(1, right_on, rmap), batch_format="pyarrow"))
+
+    how = _HOW[join_type]
+    lcols = [f.name for f in out_schema if f.name in lnames]
+    rcols = [f.name for f in out_schema if f.name not in lnames]
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        lpart = g.loc[g["__side"] == 0, lcols]
+        rpart = g.loc[g["__side"] == 1, list(on) + rcols]
+        out = lpart.merge(rpart, how=how, on=list(on))
+        return pa.Table.from_pandas(out[out_schema.names], schema=out_schema,
+                                    preserve_index=False)
+
+    return tagged.groupby("__jbucket").map_groups(merge, batch_format="pandas")
 
 
 def broadcast_semi_join(ds: Dataset, keys: Iterable, key_col: str,
