@@ -1,0 +1,233 @@
+"""Relational pipelines over the test star schema — the engine's general
+query layer (joins, grouped aggregates, top-k, semi/anti joins, dedup-merge).
+
+Each function takes ``sf_dir`` and returns a ``ray.data.Dataset`` whose
+column names and types match the DuckDB oracle SQL in ``__ray_entry__.py``
+exactly (the driver hash-compares values under sorted column names).
+
+Money/measure sums are computed as integer cents (``round(x*100)`` cast to
+int64) so distributed float-summation order can never perturb the result —
+both sides sum exact integers.
+
+Scale notes: every aggregate uses the partial/combiner form (stages/agg.py),
+joins are the bucketed shuffle join (stages/joins.py), small sides are
+broadcast via ``ray.put`` (stages/joins.py broadcast_*), reads prune columns
+at the source.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data import Dataset
+
+from chameleon_entity_linking_ray.stages.agg import (
+    distinct,
+    grouped_agg,
+    grouped_top_k,
+    top_k,
+)
+from chameleon_entity_linking_ray.stages.joins import (
+    broadcast_semi_join,
+    hash_join,
+)
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _cents(col) -> pa.Array:
+    """trunc(x*100) as exact int64 cents (summation-order-proof).
+
+    trunc, not round: both engines see bit-identical doubles, and trunc has
+    no round-half tie, so results agree everywhere (ROUND diverges between
+    numpy half-even and SQL half-away exactly at representable .5 cents)."""
+    return pc.cast(pc.trunc(pc.multiply(col, 100.0)), pa.int64())
+
+
+# --- Q: pricing summary (reference A5-style global aggregate over measures) ---
+
+def q1_pricing(sf_dir: str) -> Dataset:
+    li = read_table(sf_dir, "lineitem",
+                    ["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_c": _cents(batch.column("l_quantity")),
+            "base_c": _cents(batch.column("l_extendedprice")),
+            "disc_c": _cents(disc),
+        })
+
+    return grouped_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={"sum_qty_c": ("qty_c", "sum"),
+              "sum_base_c": ("base_c", "sum"),
+              "sum_disc_c": ("disc_c", "sum"),
+              "n_rows": (None, "count")})
+
+
+# --- Q: global top-k with per-block pruning (O3/O4) ---
+
+def top_orders(sf_dir: str) -> Dataset:
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "o_custkey": batch.column("o_custkey"),
+                         "total_c": _cents(batch.column("o_totalprice"))})
+
+    return top_k(orders.map_batches(prep, batch_format="pyarrow"),
+                 by=["total_c", "o_orderkey"], ascending=[False, True], k=20)
+
+
+# --- Q: join + grouped aggregate (J1/J3 analog) ---
+
+def segment_revenue(sf_dir: str) -> Dataset:
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "total_c": _cents(batch.column("o_totalprice"))})
+
+    joined = hash_join(orders.map_batches(prep, batch_format="pyarrow"), cust,
+                       on=("o_custkey",), right_on=("c_custkey",),
+                       join_type="inner")
+    return grouped_agg(joined, keys=["c_mktsegment"],
+                       aggs={"n_orders": (None, "count"),
+                             "sum_total_c": ("total_c", "sum")})
+
+
+# --- Q: three-way dimension join (J3) ---
+
+def nation_customers(sf_dir: str) -> Dataset:
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = read_table(sf_dir, "nation")
+    region = read_table(sf_dir, "region")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_nationkey": batch.column("c_nationkey"),
+                         "acctbal_c": _cents(batch.column("c_acctbal"))})
+
+    j = hash_join(cust.map_batches(prep, batch_format="pyarrow"), nation,
+                  on=("c_nationkey",), right_on=("n_nationkey",), join_type="inner")
+    j = hash_join(j, region, on=("n_regionkey",), right_on=("r_regionkey",),
+                  join_type="inner")
+    return grouped_agg(j, keys=["r_name", "n_name"],
+                       aggs={"n_cust": (None, "count"),
+                             "sum_acctbal_c": ("acctbal_c", "sum")})
+
+
+# --- Q: time-bucketed event aggregate (streaming-table analog) ---
+
+def events_daily(sf_dir: str) -> Dataset:
+    ev = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({"event_type": batch.column("event_type"),
+                         "day": day,
+                         "value_c": _cents(batch.column("value"))})
+
+    return grouped_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                       keys=["event_type", "day"],
+                       aggs={"n_events": (None, "count"),
+                             "sum_value_c": ("value_c", "sum")})
+
+
+# --- Q: broadcast semi-join (M9/J4 prune filter) ---
+
+def events_semi(sf_dir: str) -> Dataset:
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    rich = cust.filter(expr="c_acctbal > 5000")
+    keys = [r["c_custkey"] for r in
+            rich.select_columns(["c_custkey"]).take_all()]
+    ev = read_table(sf_dir, "events", ["user_id", "event_type"])
+    kept = broadcast_semi_join(ev, keys, "user_id")
+    return grouped_agg(kept, keys=["event_type"],
+                       aggs={"n_events": (None, "count")})
+
+
+# --- Q: broadcast anti-join (J5) ---
+
+def customers_no_orders(sf_dir: str) -> Dataset:
+    """Customers with no big (>300k) order — broadcast anti-join against
+    the distinct big-order custkey set."""
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice > 300000.0")
+    big = [r["o_custkey"] for r in
+           distinct(orders.select_columns(["o_custkey"]), ["o_custkey"]).take_all()]
+    cust = read_table(sf_dir, "customer", ["c_custkey"])
+    return broadcast_semi_join(cust, big, "c_custkey", anti=True)
+
+
+# --- Q: union + dedup keep-first by priority (D1, merge_results parity) ---
+
+def merge_runs(sf_dir: str) -> Dataset:
+    """Two 'runs' over orders: priority 0 = finished orders, priority 1 =
+    high-value orders; keep-first per key — numeric-priority form of
+    /root/reference/utils/merge_results.py:3-28 (we match keep-first
+    semantics, not its string-sorted-score quirk, SURVEY.md O2)."""
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def run_a(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("o_orderstatus"), "F"))
+        n = b.num_rows
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "src": pa.array(np.zeros(n, np.int64()), pa.int64())})
+
+    def run_b(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch.column("o_totalprice"), 100000.0))
+        n = b.num_rows
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "src": pa.array(np.ones(n, np.int64()), pa.int64())})
+
+    both = orders.map_batches(run_a, batch_format="pyarrow").union(
+        orders.map_batches(run_b, batch_format="pyarrow"))
+    return grouped_agg(both, keys=["o_orderkey"], aggs={"src": ("src", "min")})
+
+
+# --- Q: per-group top-k + rank (O1, per-query rank loop) ---
+
+def topk_per_customer(sf_dir: str) -> Dataset:
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "o_orderkey": batch.column("o_orderkey"),
+                         "total_c": _cents(batch.column("o_totalprice"))})
+
+    out = grouped_top_k(orders.map_batches(prep, batch_format="pyarrow"),
+                        group_keys=["o_custkey"], by=["total_c", "o_orderkey"],
+                        ascending=[False, True], k=3, rank_col="rnk")
+
+    def rnk64(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rnk"] = df["rnk"].astype(np.int64)
+        return df
+
+    return out.map_batches(rnk64, batch_format="pandas")
+
+
+# --- Q: distinct counts (A4) ---
+
+def distinct_counts(sf_dir: str) -> Dataset:
+    ev = read_table(sf_dir, "events", ["event_type", "user_id"])
+    n_types = distinct(ev, ["event_type"]).count()
+    n_users = distinct(ev, ["user_id"]).count()
+    return ray.data.from_arrow(pa.table({
+        "n_event_types": pa.array([n_types], pa.int64()),
+        "n_users": pa.array([n_users], pa.int64())}))

@@ -1,0 +1,498 @@
+"""Training-data corpus operations over the ``documents`` / ``embeddings``
+tables: text analysis, the deduplication family, and similarity search.
+
+These are the large-scale data-pipeline ops the engine adds beyond the
+reference's operator set (its per-passage dict loops, e.g.
+/root/reference/CrossEncoder/test.py:26-32, never scale past driver RAM).
+Everything is map_batches + bucketed shuffles; nothing materializes the
+corpus on the driver.
+
+Column names/types match the DuckDB oracles in ``__ray_entry__.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data import Dataset
+
+from chameleon_entity_linking_ray.config import LinkageConfig
+from chameleon_entity_linking_ray.functions.hashing import hash64, mix64
+from chameleon_entity_linking_ray.functions.minhash import (
+    lsh_band_keys,
+    minhash_signatures,
+)
+from chameleon_entity_linking_ray.functions.text import (
+    LANG_STOPWORDS,
+    punct_counts,
+    stopword_hit_counts,
+    token_counts,
+)
+from chameleon_entity_linking_ray.pipelines.analytics import read_table
+from chameleon_entity_linking_ray.stages.agg import grouped_top_k
+
+
+# ---------------------------------------------------------------- text analysis
+
+def doc_tokens(sf_dir: str) -> Dataset:
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(token_counts(text), pa.int64()),
+            "n_chars2": pc.cast(pc.utf8_length(text), pa.int64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_quality(sf_dir: str) -> Dataset:
+    """Quality score: token-volume and punctuation-cleanliness blend,
+    round(6) so both engines compare equal doubles."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_punct = punct_counts(text)
+        n_tok = np.asarray(pc.cast(token_counts(text), pa.int64())
+                           .to_numpy(zero_copy_only=False))
+        n_chars = np.asarray(pc.utf8_length(text).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+        quality = (0.5 * np.minimum(n_tok, 100) / 100.0 +
+                   0.5 * (1.0 - n_punct / np.maximum(n_chars, 1)))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_punct": pa.array(n_punct, pa.int64()),
+            "quality": pa.array(np.round(quality, 6), pa.float64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+LANG_ORDER = ["en", "de", "fr"]
+
+
+def doc_langid(sf_dir: str) -> Dataset:
+    """Stopword-hit language ID; first language (in LANG_ORDER) with the
+    max positive score wins, else 'und'. The oracle SQL is generated from
+    the same stopword lists, so semantics are pinned by construction."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        scores = np.stack([stopword_hit_counts(text, LANG_STOPWORDS[lang])
+                           for lang in LANG_ORDER])  # [lang, n]
+        best = scores.argmax(axis=0)  # first max wins (argmax is first)
+        pred = np.array(LANG_ORDER, dtype=object)[best]
+        pred[scores.max(axis=0) == 0] = "und"
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang_pred": pa.array(pred, pa.string())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_fingerprint(sf_dir: str) -> Dataset:
+    """64-bit rolling-hash document fingerprint (content-addressed id):
+    keyed SipHash of the text, hex-encoded. Exact-dup detection key."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = hash64(batch.column("text").to_pylist())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fingerprint": pa.array([format(x, "016x") for x in h],
+                                                 pa.string())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- dedup family
+
+def dedup_exact(sf_dir: str) -> Dataset:
+    """Exact dedup: hash-partition by text, keep min doc_id per text group
+    (keep-first). One row per distinct text."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (mix64(hash64(batch.column("text").to_pylist()), seed=41) %
+             np.uint64(64)).astype(np.int32)
+        return batch.append_column("__tbucket", pa.array(b, pa.int32()))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("text", sort=False)["doc_id"]
+        out = pd.DataFrame({"keep_id": gb.min(), "n_copies": gb.size()}).reset_index()
+        out["n_copies"] = out["n_copies"].astype(np.int64)
+        return out[["keep_id", "n_copies"]].assign(text=out["text"])[
+            ["text", "keep_id", "n_copies"]]
+
+    return docs.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__tbucket").map_groups(keep_first, batch_format="pandas")
+
+
+def minhash_dup_pairs(sf_dir: str, threshold: float = 0.7,
+                      config: LinkageConfig | None = None) -> Dataset:
+    """MinHash+LSH near-duplicate candidate pairs over documents, verified
+    by signature-estimated Jaccard >= threshold. shingle -> minhash ->
+    band -> bucket-groupby -> per-bucket pair gen -> estimate filter."""
+    c = config or LinkageConfig()
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def band(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = minhash_signatures(texts, c.shingle_k, c.num_perm, c.minhash_seed)
+        keys = lsh_band_keys(sigs, c.num_bands, c.minhash_seed)
+        n, bands = keys.shape
+        rep = np.repeat(np.arange(n, dtype=np.int64), bands)
+        flat = keys.reshape(-1)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[rep]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "block_key": pa.array(flat.view(np.int64), pa.int64()),
+            "sig": pa.array(list(sigs[rep].astype("uint64")),
+                            pa.list_(pa.uint64(), c.num_perm)),
+            "bucket": pa.array((mix64(flat, seed=51) % np.uint64(64))
+                               .astype(np.int32), pa.int32()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["block_key", "doc_id"]) \
+             .sort_values(["block_key", "doc_id"], kind="mergesort")
+        bk = g["block_key"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        sigs = np.stack(g["sig"].to_numpy()) if len(g) else np.empty((0, c.num_perm))
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        counts = np.diff(np.r_[starts, len(bk)])
+        li, ri = [], []
+        for s, n in zip(starts, counts):
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            li.append(iu + s)
+            ri.append(ju + s)
+        if not li:
+            return pd.DataFrame({"left_doc": pd.Series(dtype=np.int64),
+                                 "right_doc": pd.Series(dtype=np.int64),
+                                 "est_jaccard": pd.Series(dtype=np.float64)})
+        li = np.concatenate(li)
+        ri = np.concatenate(ri)
+        est = (sigs[li] == sigs[ri]).mean(axis=1)
+        keep = est >= threshold
+        out = pd.DataFrame({"left_doc": ids[li][keep], "right_doc": ids[ri][keep],
+                            "est_jaccard": np.round(est[keep], 6)})
+        return out.drop_duplicates(["left_doc", "right_doc"])
+
+    cand = docs.map_batches(band, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+    # cross-bucket dedup (same pair can fire in several bands)
+    def pbucket(batch: pa.Table) -> pa.Table:
+        l = batch.column("left_doc").to_numpy(zero_copy_only=False).astype(np.uint64)
+        r = batch.column("right_doc").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (mix64(l ^ mix64(r, seed=3), seed=9) % np.uint64(64)).astype(np.int32)
+        return batch.append_column("pbucket", pa.array(b, pa.int32()))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["left_doc", "right_doc"])[
+            ["left_doc", "right_doc", "est_jaccard"]]
+
+    return cand.map_batches(pbucket, batch_format="pyarrow") \
+        .groupby("pbucket").map_groups(dedup, batch_format="pandas")
+
+
+def simhash_docs(sf_dir: str, config: LinkageConfig | None = None) -> Dataset:
+    """64-bit SimHash per document over char-shingle hashes — near-dup
+    docs land at small Hamming distance; grouping by the first 16 bits
+    gives a cheap blocking key."""
+    c = config or LinkageConfig()
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    from chameleon_entity_linking_ray.functions.hashing import flat_ngram_hashes
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        flat, offsets = flat_ngram_hashes(texts, c.shingle_k)
+        n = len(offsets) - 1
+        sims = np.zeros(n, dtype=np.uint64)
+        if flat.size:
+            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) &
+                    np.uint64(1)).astype(np.int32) * 2 - 1  # [n_shingles, 64]
+            sums = np.add.reduceat(bits, offsets[:-1], axis=0)  # [n, 64]
+            empty = np.diff(offsets) == 0
+            sums[empty] = 0
+            simbits = (sums > 0).astype(np.uint64)
+            sims = (simbits << np.arange(64, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(sims.view(np.int64), pa.int64()),
+            "simhash_prefix": pa.array((sims >> np.uint64(48)).astype(np.int64),
+                                       pa.int64()),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                        config: LinkageConfig | None = None) -> Dataset:
+    """Exact n-gram Jaccard verification of the MinHash-LSH candidates:
+    LSH proposes (cheap), exact shingle-set Jaccard disposes. Pairs are
+    re-joined to texts via the bucketed hash join, never a driver dict."""
+    from chameleon_entity_linking_ray.functions.hashing import flat_ngram_hashes
+    from chameleon_entity_linking_ray.stages.joins import hash_join
+    c = config or LinkageConfig()
+
+    cand = minhash_dup_pairs(sf_dir, threshold=0.3, config=c) \
+        .drop_columns(["est_jaccard"])
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    j = hash_join(cand, docs, on=("left_doc",), right_on=("doc_id",),
+                  join_type="inner")
+    j = hash_join(j, docs, on=("right_doc",), right_on=("doc_id",),
+                  join_type="inner", right_suffix="_r")
+
+    def exact(batch: pa.Table) -> pa.Table:
+        lt = batch.column("text").to_pylist()
+        rt = batch.column("text_r").to_pylist()
+        out = np.zeros(len(lt))
+        for i, (a, b) in enumerate(zip(lt, rt)):
+            ha, _ = flat_ngram_hashes([a], c.shingle_k)
+            hb, _ = flat_ngram_hashes([b], c.shingle_k)
+            sa, sb = set(ha.tolist()), set(hb.tolist())
+            out[i] = len(sa & sb) / max(1, len(sa | sb))
+        t = pa.table({"left_doc": batch.column("left_doc"),
+                      "right_doc": batch.column("right_doc"),
+                      "jaccard": pa.array(np.round(out, 6), pa.float64())})
+        return t.filter(pc.greater_equal(t.column("jaccard"), threshold))
+
+    return j.map_batches(exact, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- similarity search
+
+def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> Dataset:
+    """Brute-force cosine top-k: the query matrix (small) is broadcast via
+    ``ray.put`` once and read in every task; each batch does one float64
+    matmul against it; per-query top-k is a bucketed grouped_top_k.
+
+    The scale path swaps the batch matmul for an IVF/LSH-bucketed variant
+    (see ann_lsh_topk) — the surrounding dataflow is identical.
+    """
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = pa.concat_tables(
+        [b for b in emb.filter(expr=f"vec_id < {n_queries}")
+         .iter_batches(batch_format="pyarrow")]).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((qids, qmat))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            scores = self.qmat @ mat.T  # [q, n]
+            nq, n = scores.shape
+            # raw float64 scores: ordering is compared cross-engine, values
+            # are not — rounding would CREATE ties the oracle doesn't see
+            return pa.table({
+                "query_id": pa.array(np.repeat(self.qids, n), pa.int64()),
+                "vec_id": pa.array(np.tile(ids, nq), pa.int64()),
+                "score": pa.array(scores.reshape(-1), pa.float64()),
+            })
+
+    scored = emb.map_batches(Score, batch_format="pyarrow", batch_size=4096,
+                             concurrency=(1, 4))
+    scored = scored.filter(expr="query_id != vec_id")
+    out = grouped_top_k(scored, group_keys=["query_id"],
+                        by=["score", "vec_id"], ascending=[False, True],
+                        k=k, rank_col="rnk")
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rnk"] = df["rnk"].astype(np.int64)
+        return df[["query_id", "vec_id", "rnk"]]
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
+def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
+                 n_planes: int = 8, seed: int = 7) -> Dataset:
+    """LSH-bucketed ANN (the 100 TB path): random-hyperplane signatures
+    partition vectors; each query only scans its own bucket (plus none
+    other), turning a full scan into a 1/2^planes scan. Recall is
+    approximate by construction — the oracle for this op is rows-only."""
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    first = pa.concat_tables(
+        [b for b in emb.filter(expr=f"vec_id < {n_queries}")
+         .iter_batches(batch_format="pyarrow")]).to_pandas()
+    dim = len(first["embedding"].iloc[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    qids = first["vec_id"].to_numpy()
+    qmat = np.stack(first["embedding"].to_numpy()).astype(np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qsig = (qmat @ planes.T > 0).astype(np.uint64)
+    qbucket = (qsig << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+    ref = ray.put((qids, qmat, qbucket, planes))
+
+    class BucketScore:
+        def __init__(self):
+            self.qids, self.qmat, self.qbucket, self.planes = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sig = (mat @ self.planes.T > 0).astype(np.uint64)
+            bucket = (sig << np.arange(sig.shape[1], dtype=np.uint64)).sum(axis=1)
+            outs = []
+            for qi in range(len(self.qids)):
+                mask = bucket == self.qbucket[qi]
+                if not mask.any():
+                    continue
+                scores = mat[mask] @ self.qmat[qi]
+                outs.append(pa.table({
+                    "query_id": pa.array(np.full(mask.sum(), self.qids[qi]),
+                                         pa.int64()),
+                    "vec_id": pa.array(ids[mask], pa.int64()),
+                    "score": pa.array(np.round(scores, 6), pa.float64()),
+                }))
+            if not outs:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            return pa.concat_tables(outs)
+
+    scored = emb.map_batches(BucketScore, batch_format="pyarrow",
+                             batch_size=4096, concurrency=(1, 4))
+    scored = scored.filter(expr="query_id != vec_id")
+    return grouped_top_k(scored, group_keys=["query_id"],
+                         by=["score", "vec_id"], ascending=[False, True],
+                         k=k, rank_col="rnk")
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> Dataset:
+    """Embedding-cosine near-dup pairs: all-pairs within LSH buckets
+    (blocked, not O(n^2) global). Emits pairs with cosine >= threshold."""
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    rng = np.random.RandomState(11)
+    planes_ref = {"planes": None}
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        if planes_ref["planes"] is None:
+            planes_ref["planes"] = np.random.RandomState(11).randn(6, mat.shape[1])
+        sig = (mat @ planes_ref["planes"].T > 0).astype(np.uint64)
+        bucket = (sig << np.arange(sig.shape[1], dtype=np.uint64)).sum(axis=1)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "embedding": batch.column("embedding"),
+            "bucket": pa.array(bucket.astype(np.int32), pa.int32()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        ids = g["vec_id"].to_numpy()
+        sims = mat @ mat.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        lo = np.minimum(ids[iu][keep], ids[ju][keep])
+        hi = np.maximum(ids[iu][keep], ids[ju][keep])
+        return pd.DataFrame({"left_vec": lo, "right_vec": hi,
+                             "cosine": np.round(sims[iu, ju][keep], 6)})
+
+    return emb.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+# ------------------------------------------------------- extraction parity ops
+
+def _title_sentence(batch: pa.Table) -> pa.Table:
+    """Deterministic capitalized corpus derived from part names:
+    'Order for <Title Cased Name> placed by <Brand>'. Gives the mention
+    extractor real multi-token capitalized surfaces (documents.text is
+    all-lowercase word salad)."""
+    names = batch.column("p_name").to_pylist()
+    brands = batch.column("p_brand").to_pylist()
+    titled = [" ".join(w[:1].upper() + w[1:] for w in n.split(" "))
+              for n in names]
+    text = [f"Order for {t} placed by {b}" for t, b in zip(titled, brands)]
+    return pa.table({"p_partkey": batch.column("p_partkey"),
+                     "text": pa.array(text, pa.string())})
+
+
+def part_mentions(sf_dir: str, config: LinkageConfig | None = None) -> Dataset:
+    """Mention extraction (M1/M2 with the rho>0.26 filter) over the derived
+    capitalized corpus; per-doc mention count. Oracle: DuckDB regexp over
+    the same derivation — pins the extraction regex + rho semantics."""
+    from chameleon_entity_linking_ray.stages.extract import find_mentions
+    c = config or LinkageConfig()
+    parts = read_table(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = _title_sentence(batch)
+        texts = t.column("text").to_pylist()
+        counts = [len(find_mentions(x, c.rho_threshold)) for x in texts]
+        return pa.table({"p_partkey": t.column("p_partkey"),
+                         "n_mentions": pa.array(counts, pa.int64())})
+
+    return parts.map_batches(fn, batch_format="pyarrow")
+
+
+def mention_vocab(sf_dir: str, config: LinkageConfig | None = None) -> Dataset:
+    """Normalized surface vocabulary (the linkage pipeline's SHUFFLE 1,
+    pipelines/linkage.py) over the derived corpus: norm -> n_mentions.
+    Oracle: DuckDB unnest + the same normalize chain."""
+    from chameleon_entity_linking_ray.functions.text import normalize_list
+    from chameleon_entity_linking_ray.stages.extract import find_mentions
+    from chameleon_entity_linking_ray.stages.agg import grouped_agg
+    c = config or LinkageConfig()
+    parts = read_table(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = _title_sentence(batch)
+        surfaces = [m[2] for x in t.column("text").to_pylist()
+                    for m in find_mentions(x, c.rho_threshold)]
+        return pa.table({"norm": pa.array(normalize_list(surfaces), pa.string())})
+
+    ments = parts.map_batches(fn, batch_format="pyarrow")
+    return grouped_agg(ments, keys=["norm"], aggs={"n_mentions": (None, "count")})
+
+
+def parts_transcripts(sf_dir: str) -> Dataset:
+    """Transcript-shaped table (conv_id, turn_idx, text) derived
+    deterministically from the part table — the flagship linkage input when
+    running over the star-schema testdata (documents.text has no
+    capitalized mentions)."""
+    parts = read_table(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = _title_sentence(batch)
+        return pa.table({
+            "conv_id": batch.column("p_brand").cast(pa.string()),
+            "turn_idx": batch.column("p_partkey").cast(pa.int32()),
+            "text": t.column("text"),
+        })
+
+    return parts.map_batches(fn, batch_format="pyarrow")
+
+
+def linkage_parts(sf_dir: str, config: LinkageConfig | None = None) -> Dataset:
+    """Flagship pipeline over the derived transcript table: extraction ->
+    LSH+token blocking -> pair scoring -> connected components -> clustered
+    mention table sorted by (conv_id, turn_idx, span_start)."""
+    from chameleon_entity_linking_ray.pipelines.linkage import run_linkage
+    clustered, _ = run_linkage(parts_transcripts(sf_dir),
+                               config or LinkageConfig())
+    return clustered

@@ -1,0 +1,123 @@
+"""Partial (combiner-style) grouped aggregation.
+
+The scalable grouped-aggregate pattern for wide data: aggregate INSIDE each
+``map_batches`` task first (pandas vectorized), so the shuffle moves one row
+per (group, block) instead of one per input row, then combine per hash
+bucket. This is the engine-wide replacement for the reference's driver-side
+counter dicts (e.g. /root/reference/CrossEncoder/train.py:77,109-112) and
+grouped collects (/root/reference/BiEncoder/test.py:70-79).
+
+At 100 TB the pre-aggregation is the difference between shuffling ~1e12 rows
+and shuffling (n_groups x n_blocks) partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from chameleon_entity_linking_ray.functions.hashing import hash64, mix64
+
+# out_col -> (src_col, kind); kind in {"sum", "count", "min", "max"}
+AggSpec = dict[str, tuple[str | None, str]]
+
+_COMBINE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
+    h = np.zeros(len(df), dtype=np.uint64)
+    for i, k in enumerate(keys):
+        vals = df[k].to_numpy()
+        if np.issubdtype(vals.dtype, np.integer):
+            h ^= mix64(vals.astype(np.uint64), seed=31 + i)
+        else:
+            h ^= mix64(hash64(vals.astype(object)), seed=31 + i)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def grouped_agg(ds: Dataset, keys: list[str], aggs: AggSpec,
+                num_buckets: int = 32) -> Dataset:
+    """ds -> one row per distinct key tuple with the named aggregates.
+
+    Stage 1 (map_batches): vectorized pandas groupby per input block — the
+    partial/combiner step. Stage 2: shuffle partials by key-hash bucket,
+    combine per bucket (sum-of-sums, min-of-mins, ...).
+    """
+    plan = [(out, src, kind) for out, (src, kind) in aggs.items()]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)
+        cols = {}
+        for out, src, kind in plan:
+            if kind == "count":
+                cols[out] = g.size()
+            else:
+                cols[out] = g[src].agg(kind)
+        part = pd.DataFrame(cols).reset_index()
+        part["__abucket"] = _bucket_of(part, keys, num_buckets)
+        return part
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False)
+        cols = {out: gb[out].agg(_COMBINE[kind]) for out, _, kind in plan}
+        return pd.DataFrame(cols).reset_index()
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("__abucket").map_groups(combine, batch_format="pandas")
+
+
+def distinct(ds: Dataset, keys: list[str], num_buckets: int = 32) -> Dataset:
+    """Distinct key tuples — per-block drop_duplicates (the combiner) then a
+    bucketed exact dedup; never a full-row global sort."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = df[keys].drop_duplicates()
+        part["__abucket"] = _bucket_of(part, keys, num_buckets)
+        return part
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g[keys].drop_duplicates()
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("__abucket").map_groups(combine, batch_format="pandas")
+
+
+def top_k(ds: Dataset, by: list[str], ascending: list[bool], k: int) -> Dataset:
+    """Global top-k with per-block pruning: each block keeps its own top-k
+    (vectorized nsmallest/nlargest-style sort), then one tiny final sort.
+    The Ray form of the reference's per-query rank cut
+    (/root/reference/BiEncoder/test_retrieval.py:72-82)."""
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    out = pruned.sort(by, descending=[not a for a in ascending]).limit(k)
+    return out
+
+
+def grouped_top_k(ds: Dataset, group_keys: list[str], by: list[str],
+                  ascending: list[bool], k: int, num_buckets: int = 32,
+                  rank_col: str | None = None) -> Dataset:
+    """Per-group top-k (the reference's per-query sort-desc + rank,
+    /root/reference/CrossEncoder/test.py:102-106): bucket groups by key
+    hash, one vectorized sort + head(k) per bucket."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__abucket"] = _bucket_of(df, group_keys, num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(group_keys + by,
+                          ascending=[True] * len(group_keys) + ascending,
+                          kind="mergesort")
+        out = g.groupby(group_keys, sort=False).head(k).drop(columns="__abucket")
+        if rank_col:
+            out[rank_col] = out.groupby(group_keys, sort=False).cumcount() + 1
+        return out
+
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("__abucket").map_groups(per_bucket, batch_format="pandas")
