@@ -41,7 +41,9 @@ class LinkageConfig:
 
     # --- execution sizing ---
     batch_size: int = 4096
-    scorer_concurrency: int = 4  # actor-pool size for the scoring stage
+    scorer_concurrency: int = 4  # actor-pool max size for the scoring stage
+    scorer_batch_size: int = 2048  # smaller than batch_size: more in-flight
+    # batches keep the autoscaling pool saturated (pool scales on queue depth)
     num_hash_buckets: int = 32  # partitioned hash-join bucket count
 
     # --- determinism ---

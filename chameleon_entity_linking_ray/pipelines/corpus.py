@@ -135,10 +135,17 @@ def dedup_exact(sf_dir: str) -> Dataset:
 
 
 def minhash_dup_pairs(sf_dir: str, threshold: float = 0.7,
-                      config: LinkageConfig | None = None) -> Dataset:
+                      config: LinkageConfig | None = None,
+                      max_block: int = 64, window: int = 8) -> Dataset:
     """MinHash+LSH near-duplicate candidate pairs over documents, verified
     by signature-estimated Jaccard >= threshold. shingle -> minhash ->
-    band -> bucket-groupby -> per-bucket pair gen -> estimate filter."""
+    band -> bucket-groupby -> per-bucket pair gen -> estimate filter.
+
+    Skew control as in stages/blocking.py: band blocks above ``max_block``
+    members (low-information bands — everything collides) switch from
+    all-pairs to windowed pairing over id-sorted members. Signatures ride
+    the shuffle as packed binary (one buffer per row, zero object churn)."""
+    from chameleon_entity_linking_ray.stages.blocking import _run_pairs
     c = config or LinkageConfig()
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
 
@@ -150,11 +157,11 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.7,
         rep = np.repeat(np.arange(n, dtype=np.int64), bands)
         flat = keys.reshape(-1)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[rep]
+        sig_bytes = [sigs[i].tobytes() for i in rep]
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "block_key": pa.array(flat.view(np.int64), pa.int64()),
-            "sig": pa.array(list(sigs[rep].astype("uint64")),
-                            pa.list_(pa.uint64(), c.num_perm)),
+            "sig": pa.array(sig_bytes, pa.binary()),
             "bucket": pa.array((mix64(flat, seed=51) % np.uint64(64))
                                .astype(np.int32), pa.int32()),
         })
@@ -164,22 +171,14 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.7,
              .sort_values(["block_key", "doc_id"], kind="mergesort")
         bk = g["block_key"].to_numpy()
         ids = g["doc_id"].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy()) if len(g) else np.empty((0, c.num_perm))
-        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
-        counts = np.diff(np.r_[starts, len(bk)])
-        li, ri = [], []
-        for s, n in zip(starts, counts):
-            if n < 2:
-                continue
-            iu, ju = np.triu_indices(n, k=1)
-            li.append(iu + s)
-            ri.append(ju + s)
-        if not li:
+        _, counts = np.unique(bk, return_counts=True)
+        li, ri = _run_pairs(counts, window, max_block)
+        if len(li) == 0:
             return pd.DataFrame({"left_doc": pd.Series(dtype=np.int64),
                                  "right_doc": pd.Series(dtype=np.int64),
                                  "est_jaccard": pd.Series(dtype=np.float64)})
-        li = np.concatenate(li)
-        ri = np.concatenate(ri)
+        sigs = np.frombuffer(b"".join(g["sig"].to_numpy()),
+                             dtype=np.uint64).reshape(len(g), c.num_perm)
         est = (sigs[li] == sigs[ri]).mean(axis=1)
         keep = est >= threshold
         out = pd.DataFrame({"left_doc": ids[li][keep], "right_doc": ids[ri][keep],
@@ -254,15 +253,39 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     j = hash_join(j, docs, on=("right_doc",), right_on=("doc_id",),
                   join_type="inner", right_suffix="_r")
 
+    def _seg_unique(vals: np.ndarray, segs: np.ndarray):
+        """Unique values within each segment, fully vectorized."""
+        order = np.lexsort((vals, segs))
+        v, s = vals[order], segs[order]
+        keep = np.r_[True, (v[1:] != v[:-1]) | (s[1:] != s[:-1])] \
+            if len(v) else np.zeros(0, bool)
+        return v[keep], s[keep]
+
     def exact(batch: pa.Table) -> pa.Table:
         lt = batch.column("text").to_pylist()
         rt = batch.column("text_r").to_pylist()
-        out = np.zeros(len(lt))
-        for i, (a, b) in enumerate(zip(lt, rt)):
-            ha, _ = flat_ngram_hashes([a], c.shingle_k)
-            hb, _ = flat_ngram_hashes([b], c.shingle_k)
-            sa, sb = set(ha.tolist()), set(hb.tolist())
-            out[i] = len(sa & sb) / max(1, len(sa | sb))
+        n = len(lt)
+        # hash all shingles of the whole batch in two vectorized passes,
+        # then set sizes/intersections via segment-sorted counting — the
+        # whole batch is one lexsort, no per-row Python
+        hl, ol = flat_ngram_hashes(lt, c.shingle_k)
+        hr, orr = flat_ngram_hashes(rt, c.shingle_k)
+        segl = np.repeat(np.arange(n, dtype=np.int64), np.diff(ol))
+        segr = np.repeat(np.arange(n, dtype=np.int64), np.diff(orr))
+        vl, sl = _seg_unique(hl, segl)
+        vr, sr = _seg_unique(hr, segr)
+        na = np.bincount(sl, minlength=n)
+        nb = np.bincount(sr, minlength=n)
+        # intersection: concat both unique sides, count duplicate
+        # (segment, value) occurrences
+        v = np.concatenate([vl, vr])
+        s = np.concatenate([sl, sr])
+        order = np.lexsort((v, s))
+        v, s = v[order], s[order]
+        dup = (v[1:] == v[:-1]) & (s[1:] == s[:-1]) if len(v) else np.zeros(0, bool)
+        inter = np.bincount(s[1:][dup], minlength=n)
+        union = np.maximum(na + nb - inter, 1)
+        out = inter / union
         t = pa.table({"left_doc": batch.column("left_doc"),
                       "right_doc": batch.column("right_doc"),
                       "jaccard": pa.array(np.round(out, 6), pa.float64())})

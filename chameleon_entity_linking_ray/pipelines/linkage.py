@@ -75,13 +75,22 @@ def generate_pairs(vocab: Dataset, config: LinkageConfig) -> Dataset:
 
 
 def score_pairs(pairs: Dataset, config: LinkageConfig, stats_ref=None) -> Dataset:
-    # autoscaling pool (min 1): a fixed pool of N actors would reserve N CPUs
-    # for the pipeline's lifetime and can starve the other stages outright on
-    # small machines (observed as a deadlocked run at num_cpus=4)
+    # the pair table emerges from a groupby in a handful of fat blocks, and
+    # map_batches parallelism is bounded by input block count — spread it
+    # across the pool and PIN it first (cheap: pairs are candidate-pruned).
+    # Materializing decouples the actor stage from its upstream so a fixed
+    # pool can never starve upstream tasks (observed deadlock at num_cpus=4
+    # when a full-width pool reserved every CPU while pair-gen still ran).
+    pairs = pairs.repartition(max(4, 4 * config.scorer_concurrency)).materialize()
+    # fixed-size pool, capped below the cluster CPU count: an autoscaling
+    # (min, max) pool ramps too slowly to ever reach max on a stage this
+    # short (measured 2x slower than fixed at the same max)
+    avail = int(ray.cluster_resources().get("CPU", 2))
+    pool = max(1, min(config.scorer_concurrency, avail - 1))
     return pairs.map_batches(
         PairScorer, fn_constructor_kwargs={"config": config, "stats_ref": stats_ref},
-        batch_format="pyarrow", batch_size=config.batch_size,
-        concurrency=(1, config.scorer_concurrency))
+        batch_format="pyarrow", batch_size=config.scorer_batch_size,
+        concurrency=pool)
 
 
 def matched_edges(scored: Dataset, config: LinkageConfig) -> Dataset:
@@ -96,19 +105,53 @@ def matched_edges(scored: Dataset, config: LinkageConfig) -> Dataset:
 
 
 def assign_clusters(mentions: Dataset, assignments: Dataset,
-                    config: LinkageConfig) -> Dataset:
+                    config: LinkageConfig,
+                    broadcast_threshold: int = 4_000_000) -> Dataset:
     """Left-join mentions (via node = hash(norm)) with CC assignments;
     singleton surfaces cluster to their own node id. Output sorted by
-    (conv_id, turn_idx, span_start) — the stable-order invariant."""
+    (conv_id, turn_idx, span_start) — the stable-order invariant.
+
+    The assignment table covers only surfaces that matched something —
+    vocabulary-scale, orders of magnitude below the mention stream — so up
+    to ``broadcast_threshold`` rows it is broadcast via ``ray.put`` once
+    (sorted-array binary-search lookup per batch) instead of shuffling
+    every mention through a hash join; beyond that the bucketed shuffle
+    join takes over."""
     with_node = mentions.map_batches(add_node_column(), batch_format="pyarrow")
+    n_assign = assignments.count()
 
     # empty sides lose their schema through the hash join — short-circuit
-    if assignments.count() == 0 or mentions.count() == 0:
+    if n_assign == 0 or mentions.count() == 0:
         def own_cluster(batch: pa.Table) -> pa.Table:
             return batch.append_column("cluster_id",
                                        pc.cast(batch.column("node"), pa.int64()))
 
         return with_node.map_batches(own_cluster, batch_format="pyarrow") \
+                        .sort(["conv_id", "turn_idx", "span_start"])
+
+    if n_assign <= broadcast_threshold:
+        import numpy as np
+
+        adf = assignments.to_pandas()
+        nodes = adf["node"].to_numpy(np.int64)
+        order = np.argsort(nodes, kind="mergesort")
+        ref = ray.put((nodes[order], adf["cluster"].to_numpy(np.int64)[order]))
+
+        # plain tasks, not an actor pool: ray.get on a numpy object-store
+        # ref is a zero-copy shared-memory read per task, and task
+        # parallelism tracks block count instead of pool ramp-up
+        def assign_fn(batch: pa.Table) -> pa.Table:
+            nodes_s, clusters_s = ray.get(ref)
+            node = batch.column("node").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(nodes_s, node)
+            pos = np.clip(pos, 0, max(0, len(nodes_s) - 1))
+            hit = nodes_s[pos] == node if len(nodes_s) else \
+                np.zeros(len(node), bool)
+            cluster = np.where(hit, clusters_s[pos], node)
+            return batch.append_column("cluster_id",
+                                       pa.array(cluster, pa.int64()))
+
+        return with_node.map_batches(assign_fn, batch_format="pyarrow") \
                         .sort(["conv_id", "turn_idx", "span_start"])
 
     joined = hash_join(with_node, assignments, on=("node",), join_type="left_outer",
@@ -236,7 +279,10 @@ def run_linkage(transcripts: Dataset, config: LinkageConfig | None = None,
     metrics["idf_stats"] = {"wall_sec": round(time.time() - t0, 3)}
 
     scored = stage("scores", ["pairs"], score_pairs, pairs, config, stats_ref)
-    edges = matched_edges(scored, config)
+    # edges is consumed at least twice by connected_components (count +
+    # label loop); without materialize() the whole scorer chain re-executes
+    # per consumption. The table is threshold-filtered and tiny vs input.
+    edges = matched_edges(scored, config).materialize()
 
     if ckpt and ckpt.has("assignments"):
         assignments = ckpt.load("assignments")
@@ -263,7 +309,11 @@ def run_linkage(transcripts: Dataset, config: LinkageConfig | None = None,
 
 
 def run_linkage_on_parquet(path: str, config: LinkageConfig | None = None,
-                           checkpoint_dir: str | None = None) -> tuple[Dataset, dict]:
-    # prune at the read: extraction only needs these three columns
-    ds = ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+                           checkpoint_dir: str | None = None,
+                           num_blocks: int | None = None) -> tuple[Dataset, dict]:
+    # prune at the read: extraction only needs these three columns.
+    # num_blocks: a single small parquet file loads as ONE block and would
+    # serialize the extraction stage; benchmarks pass ~4x num_cpus.
+    ds = ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "text"],
+                               override_num_blocks=num_blocks)
     return run_linkage(ds, config, checkpoint_dir, input_paths=[path])

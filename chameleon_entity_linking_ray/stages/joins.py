@@ -56,6 +56,12 @@ def hash_join(left: Dataset, right: Dataset, on: tuple[str, ...],
     """
     on = tuple(on)
     right_on = tuple(right_on) if right_on else on
+    # pin both sides before asking for schemas: .schema() on a lazy dataset
+    # executes its upstream just to peek one block and then throws the work
+    # away, so a chain of joins would re-run every producer once per peek.
+    # A hash join consumes both sides fully anyway; materializing here
+    # costs nothing extra and makes the schema probes free.
+    left, right = left.materialize(), right.materialize()
     lschema, rschema = left.schema(), right.schema()
     lnames = list(lschema.names)
 
@@ -133,18 +139,16 @@ def broadcast_semi_join(ds: Dataset, keys: Iterable, key_col: str,
     """
     ref = ray.put(frozenset(keys))
 
-    class SemiFilter:
-        def __init__(self):
-            self.keys = ray.get(ref)  # once per actor/task, zero-copy handle
+    def semi_filter(batch: pa.Table) -> pa.Table:
+        key_set = ray.get(ref)  # object-store handle, fetched per task
+        vals = batch.column(key_col).to_pylist()
+        mask = np.fromiter((v in key_set for v in vals), dtype=bool, count=len(vals))
+        if anti:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = batch.column(key_col).to_pylist()
-            mask = np.fromiter((v in self.keys for v in vals), dtype=bool, count=len(vals))
-            if anti:
-                mask = ~mask
-            return batch.filter(pa.array(mask))
-
-    return ds.map_batches(SemiFilter, batch_format="pyarrow", concurrency=2)
+    # plain tasks: parallelism follows block count, no actor-pool ramp
+    return ds.map_batches(semi_filter, batch_format="pyarrow")
 
 
 def broadcast_lookup(ds: Dataset, mapping: dict, key_col: str, out_col: str,
@@ -154,13 +158,10 @@ def broadcast_lookup(ds: Dataset, mapping: dict, key_col: str, out_col: str,
     probes (/root/reference/CrossEncoder/test.py:80-99)."""
     ref = ray.put(mapping)
 
-    class Lookup:
-        def __init__(self):
-            self.m = ray.get(ref)
+    def lookup(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        vals = batch.column(key_col).to_pylist()
+        out = [m.get(v, default) for v in vals]
+        return batch.append_column(out_col, pa.array(out))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = batch.column(key_col).to_pylist()
-            out = [self.m.get(v, default) for v in vals]
-            return batch.append_column(out_col, pa.array(out))
-
-    return ds.map_batches(Lookup, batch_format="pyarrow", concurrency=concurrency)
+    return ds.map_batches(lookup, batch_format="pyarrow")

@@ -95,11 +95,25 @@ def build_idf_stats(mentions: Dataset, config: LinkageConfig,
             "c": pa.array(np.concatenate([ng_c, tk_c]), pa.int64()),
         })
 
-    agg = mentions.map_batches(partials, batch_format="pyarrow") \
-        .groupby(["kind", "h"]).aggregate(Sum("c", alias_name="df")) \
-        .sort("df", descending=True).limit(max_vocab)
-    tbl = agg.to_pandas()
     n_docs = mentions.count()
+    parts = mentions.map_batches(partials, batch_format="pyarrow")
+    if n_docs <= 200_000:
+        # small vocab: combine the per-block partials on the driver — the
+        # distributed groupby+sort costs several scheduling barriers that
+        # dwarf the actual work at this size
+        import pandas as pd
+        frames = [b.to_pandas()
+                  for b in parts.iter_batches(batch_format="pyarrow")]
+        if frames:
+            tbl = pd.concat(frames).groupby(["kind", "h"], sort=False)["c"] \
+                .sum().rename("df").reset_index() \
+                .sort_values("df", ascending=False).head(max_vocab)
+        else:
+            tbl = pd.DataFrame(columns=["kind", "h", "df"])
+    else:
+        agg = parts.groupby(["kind", "h"]).aggregate(Sum("c", alias_name="df")) \
+            .sort("df", descending=True).limit(max_vocab)
+        tbl = agg.to_pandas()
     if tbl.empty or "kind" not in tbl.columns:  # empty corpus
         e64 = np.empty(0, np.uint64)
         e32 = np.empty(0, np.float32)

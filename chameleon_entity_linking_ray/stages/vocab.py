@@ -12,11 +12,11 @@ reference re-embedding every duplicated passage independently
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
-from ray.data.aggregate import Count
 
-from chameleon_entity_linking_ray.functions.hashing import node_id
+from chameleon_entity_linking_ray.functions.hashing import hash64, mix64, node_id
 
 
 def add_node_column(text_col: str = "norm", out_col: str = "node"):
@@ -27,7 +27,26 @@ def add_node_column(text_col: str = "norm", out_col: str = "node"):
     return fn
 
 
-def build_vocab(mentions: Dataset, text_col: str = "norm") -> Dataset:
-    """Distinct norms + occurrence counts (native vectorized groupby)."""
-    vocab = mentions.groupby(text_col).aggregate(Count(alias_name="n_mentions"))
+def build_vocab(mentions: Dataset, text_col: str = "norm",
+                num_buckets: int = 64) -> Dataset:
+    """Distinct norms + occurrence counts, combiner form: each input block
+    collapses to its own partial (norm, count) table BEFORE the shuffle, so
+    the exchange moves ~n_blocks x vocab rows instead of every mention —
+    the difference between shuffling 10^12 rows and 10^7 at target scale."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        part = df.groupby(text_col, sort=False).size().rename("n_mentions") \
+            .reset_index()
+        b = (mix64(hash64(part[text_col].to_numpy(object)), seed=67) %
+             np.uint64(num_buckets)).astype(np.int32)
+        part["__vbucket"] = b
+        return part
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(text_col, sort=False)["n_mentions"].sum().reset_index()
+        out["n_mentions"] = out["n_mentions"].astype(np.int64)
+        return out
+
+    vocab = mentions.map_batches(partial, batch_format="pandas") \
+        .groupby("__vbucket").map_groups(combine, batch_format="pandas")
     return vocab.map_batches(add_node_column(text_col), batch_format="pyarrow")
