@@ -102,11 +102,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": C.ann_topk,
         "ann_lsh_topk": C.ann_lsh_topk,
+        # --- graph expansion (reference entity_expander parity) ---
+        "bfs_copurchase": _q_bfs,
+        "ppr_copurchase": _q_ppr,
+        # --- multimodal plumbing (decode stubs, deterministic fakes) ---
+        "media_decode": _q_media,
         # --- extraction parity + flagship ---
         "part_mentions": C.part_mentions,
         "mention_vocab": C.mention_vocab,
         "linkage_parts": C.linkage_parts,
     }
+
+
+def _q_bfs(sf_dir):
+    from chameleon_entity_linking_ray.stages.graph import bfs_copurchase
+    return bfs_copurchase(sf_dir, seed_part=0, k=2)
+
+
+def _q_ppr(sf_dir):
+    from chameleon_entity_linking_ray.stages.graph import ppr_copurchase
+    return ppr_copurchase(sf_dir, seed_part=0)
+
+
+def _q_media(sf_dir):
+    import ray.data
+    from chameleon_entity_linking_ray.stages.multimodal import (
+        decode_media, synth_media)
+    return decode_media(ray.data.from_arrow(synth_media(256, seed=7)),
+                        fake=True, feature_dim=16).drop_columns(["feature"])
 
 
 def oracle_sql() -> dict[str, str]:
@@ -220,6 +243,18 @@ def oracle_sql() -> dict[str, str]:
                            m -> {_RHO_FILTER_SQL})) AS surface FROM t)
             SELECT {norm} AS norm, CAST(COUNT(*) AS BIGINT) AS n_mentions
             FROM m GROUP BY norm""",
+        "bfs_copurchase": """
+            WITH RECURSIVE pairs AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+            ), r(node, hop) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT p.dst, r.hop + 1 FROM r JOIN pairs p ON p.src = r.node
+                WHERE r.hop < 2
+            )
+            SELECT node, MIN(hop) AS hop FROM r GROUP BY node""",
         # minhash_dup_pairs / simhash_docs / ngram_jaccard_pairs /
         # embedding_near_dups / ann_lsh_topk / doc_fingerprint /
         # linkage_parts: sketch-based or iterative semantics, not

@@ -144,7 +144,7 @@ def main() -> None:
         # The fast level runs twice (best kept): a fresh process right after
         # the slow child sees its raylet teardown + page-cache eviction,
         # which skews short runs; the long run is insensitive to it.
-        for cpus, repeats in ((4, 1), (16, 2)):
+        for cpus, repeats in ((4, 2), (16, 3)):
             best = None
             for _ in range(repeats):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))

@@ -1,0 +1,94 @@
+"""Graph expansion tests: distributed BFS/PPR vs dense numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from chameleon_entity_linking_ray.stages.graph import (
+    bfs_expand,
+    personalized_pagerank,
+)
+
+
+@pytest.fixture(scope="module")
+def chain_edges():
+    # 0-1-2-3-4 chain plus a 5-6 island, both directions
+    e = [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)]
+    rows = [{"src": a, "dst": b} for a, b in e] + \
+           [{"src": b, "dst": a} for a, b in e]
+    return rd.from_items(rows)
+
+
+class TestBfs:
+    def test_hops(self, chain_edges):
+        out = bfs_expand(chain_edges, [0], k=2).to_pandas() \
+            .set_index("node")["hop"].to_dict()
+        assert out == {0: 0, 1: 1, 2: 2}
+
+    def test_island_unreached(self, chain_edges):
+        out = bfs_expand(chain_edges, [0], k=10).to_pandas()
+        assert set(out["node"]) == {0, 1, 2, 3, 4}
+
+    def test_multi_seed(self, chain_edges):
+        out = bfs_expand(chain_edges, [0, 5], k=1).to_pandas() \
+            .set_index("node")["hop"].to_dict()
+        assert out == {0: 0, 5: 0, 1: 1, 6: 1}
+
+
+class TestPpr:
+    def test_matches_dense_power_iteration(self):
+        rng = np.random.RandomState(4)
+        n = 30
+        edges = set()
+        for _ in range(120):
+            a, b = rng.randint(0, n, 2)
+            if a != b:
+                edges.add((int(a), int(b)))
+        ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+        got = personalized_pagerank(ds, [0], alpha=0.85, iters=40).to_pandas()
+        got = got.set_index("node")["rank"]
+
+        # dense oracle: identical formulation
+        nodes = sorted({x for e in edges for x in e})
+        idx = {x: i for i, x in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for a, b in edges:
+            A[idx[b], idx[a]] = 1.0
+        deg = A.sum(axis=0)
+        restart = np.zeros(len(nodes))
+        restart[idx[0]] = 1.0
+        r = restart.copy()
+        for _ in range(40):
+            share = np.divide(r, deg, out=np.zeros_like(r), where=deg > 0)
+            dangling = r[deg == 0].sum()
+            r = 0.85 * (A @ share + dangling * restart) + 0.15 * restart
+        for x in nodes:
+            assert got[x] == pytest.approx(r[idx[x]], abs=1e-9)
+
+
+class TestRunfile:
+    def test_rank_and_format(self):
+        from chameleon_entity_linking_ray.functions.runfile import (
+            format_trec, rank_run)
+        rows = [{"qid": q, "pid": p, "score": float((q * 7 + p * 3) % 11)}
+                for q in range(3) for p in range(8)]
+        ranked = rank_run(rd.from_items(rows), k=3)
+        df = format_trec(ranked, tag="t").to_pandas()
+        assert len(df) == 9
+        first = df[df["line"].str.startswith("0 Q0 ")].sort_values("rank")
+        parts = first.iloc[0]["line"].split()
+        assert parts[1] == "Q0" and parts[5] == "t" and parts[3] == "1"
+
+    def test_write_trec_order(self, tmp_path):
+        from chameleon_entity_linking_ray.functions.runfile import (
+            rank_run, write_trec)
+        rows = [{"qid": q, "pid": p, "score": float(p)}
+                for q in range(2) for p in range(5)]
+        ranked = rank_run(rd.from_items(rows), k=2)
+        path = str(tmp_path / "run.txt")
+        write_trec(ranked, path)
+        lines = open(path).read().splitlines()
+        assert len(lines) == 4
+        assert [l.split()[0] for l in lines] == ["0", "0", "1", "1"]
+        assert [l.split()[3] for l in lines] == ["1", "2", "1", "2"]
