@@ -46,8 +46,9 @@ class LinkageConfig:
     # batches keep the autoscaling pool saturated (pool scales on queue depth)
     num_hash_buckets: int = 32  # partitioned hash-join bucket count
 
-    # --- determinism ---
-    hash_key: str = "chameleon-ray-0001"  # 16 bytes for pd.util.hash_array
+    # determinism note: the global 16-byte string-hash key lives in
+    # functions/hashing.py:HASH_KEY (it is a library constant, not a
+    # per-pipeline knob — two runs must agree on it to share checkpoints)
 
     extra: dict = field(default_factory=dict, compare=False)
 

@@ -32,8 +32,8 @@ from chameleon_entity_linking_ray.stages.agg import (
     top_k,
 )
 from chameleon_entity_linking_ray.stages.joins import (
-    broadcast_semi_join,
-    hash_join,
+    broadcast_hash_join,
+    semi_join_ds,
 )
 
 
@@ -101,9 +101,11 @@ def segment_revenue(sf_dir: str) -> Dataset:
         return pa.table({"o_custkey": batch.column("o_custkey"),
                          "total_c": _cents(batch.column("o_totalprice"))})
 
-    joined = hash_join(orders.map_batches(prep, batch_format="pyarrow"), cust,
-                       on=("o_custkey",), right_on=("c_custkey",),
-                       join_type="inner")
+    # dimension join: customer is the small side — broadcast it once
+    # (ray.put) and merge map-side; no shuffle of the orders stream
+    joined = broadcast_hash_join(orders.map_batches(prep, batch_format="pyarrow"),
+                                 cust, on=("o_custkey",),
+                                 right_on=("c_custkey",), join_type="inner")
     return grouped_agg(joined, keys=["c_mktsegment"],
                        aggs={"n_orders": (None, "count"),
                              "sum_total_c": ("total_c", "sum")})
@@ -120,10 +122,13 @@ def nation_customers(sf_dir: str) -> Dataset:
         return pa.table({"c_nationkey": batch.column("c_nationkey"),
                          "acctbal_c": _cents(batch.column("c_acctbal"))})
 
-    j = hash_join(cust.map_batches(prep, batch_format="pyarrow"), nation,
-                  on=("c_nationkey",), right_on=("n_nationkey",), join_type="inner")
-    j = hash_join(j, region, on=("n_regionkey",), right_on=("r_regionkey",),
-                  join_type="inner")
+    # nation (25 rows) and region (5 rows) are broadcast dimensions:
+    # two map-side merges, zero shuffles
+    j = broadcast_hash_join(cust.map_batches(prep, batch_format="pyarrow"),
+                            nation, on=("c_nationkey",),
+                            right_on=("n_nationkey",), join_type="inner")
+    j = broadcast_hash_join(j, region, on=("n_regionkey",),
+                            right_on=("r_regionkey",), join_type="inner")
     return grouped_agg(j, keys=["r_name", "n_name"],
                        aggs={"n_cust": (None, "count"),
                              "sum_acctbal_c": ("acctbal_c", "sum")})
@@ -152,10 +157,9 @@ def events_daily(sf_dir: str) -> Dataset:
 def events_semi(sf_dir: str) -> Dataset:
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_acctbal"])
     rich = cust.filter(expr="c_acctbal > 5000")
-    keys = [r["c_custkey"] for r in
-            rich.select_columns(["c_custkey"]).take_all()]
     ev = read_table(sf_dir, "events", ["user_id", "event_type"])
-    kept = broadcast_semi_join(ev, keys, "user_id")
+    # key side stays Arrow end-to-end: block refs -> one broadcast array
+    kept = semi_join_ds(ev, rich, "user_id", keys_col="c_custkey")
     return grouped_agg(kept, keys=["event_type"],
                        aggs={"n_events": (None, "count")})
 
@@ -167,10 +171,9 @@ def customers_no_orders(sf_dir: str) -> Dataset:
     the distinct big-order custkey set."""
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
         .filter(expr="o_totalprice > 300000.0")
-    big = [r["o_custkey"] for r in
-           distinct(orders.select_columns(["o_custkey"]), ["o_custkey"]).take_all()]
+    big = distinct(orders.select_columns(["o_custkey"]), ["o_custkey"])
     cust = read_table(sf_dir, "customer", ["c_custkey"])
-    return broadcast_semi_join(cust, big, "c_custkey", anti=True)
+    return semi_join_ds(cust, big, "c_custkey", keys_col="o_custkey", anti=True)
 
 
 # --- Q: union + dedup keep-first by priority (D1, merge_results parity) ---
@@ -183,20 +186,20 @@ def merge_runs(sf_dir: str) -> Dataset:
     orders = read_table(sf_dir, "orders",
                         ["o_orderkey", "o_orderstatus", "o_totalprice"])
 
-    def run_a(batch: pa.Table) -> pa.Table:
-        b = batch.filter(pc.equal(batch.column("o_orderstatus"), "F"))
-        n = b.num_rows
-        return pa.table({"o_orderkey": b.column("o_orderkey"),
-                         "src": pa.array(np.zeros(n, np.int64()), pa.int64())})
-
-    def run_b(batch: pa.Table) -> pa.Table:
+    def both_runs(batch: pa.Table) -> pa.Table:
+        """ONE scan emits both runs' rows (a row matching both predicates
+        contributes to both, as the two-pass union did)."""
+        a = batch.filter(pc.equal(batch.column("o_orderstatus"), "F"))
         b = batch.filter(pc.greater(batch.column("o_totalprice"), 100000.0))
-        n = b.num_rows
-        return pa.table({"o_orderkey": b.column("o_orderkey"),
-                         "src": pa.array(np.ones(n, np.int64()), pa.int64())})
+        return pa.table({
+            "o_orderkey": pa.concat_arrays(
+                [a.column("o_orderkey").combine_chunks(),
+                 b.column("o_orderkey").combine_chunks()]),
+            "src": pa.array(np.r_[np.zeros(a.num_rows, np.int64),
+                                  np.ones(b.num_rows, np.int64)], pa.int64()),
+        })
 
-    both = orders.map_batches(run_a, batch_format="pyarrow").union(
-        orders.map_batches(run_b, batch_format="pyarrow"))
+    both = orders.map_batches(both_runs, batch_format="pyarrow")
     return grouped_agg(both, keys=["o_orderkey"], aggs={"src": ("src", "min")})
 
 
@@ -225,9 +228,24 @@ def topk_per_customer(sf_dir: str) -> Dataset:
 # --- Q: distinct counts (A4) ---
 
 def distinct_counts(sf_dir: str) -> Dataset:
+    """ONE scan: each block emits its distinct (kind, val) rows for both
+    columns, a single bucketed dedup counts them, and the driver folds the
+    two tiny counts into one row."""
     ev = read_table(sf_dir, "events", ["event_type", "user_id"])
-    n_types = distinct(ev, ["event_type"]).count()
-    n_users = distinct(ev, ["user_id"]).count()
+
+    def both_kinds(batch: pa.Table) -> pa.Table:
+        et = pc.unique(batch.column("event_type")).cast(pa.string())
+        ui = pc.cast(pc.unique(batch.column("user_id")), pa.string())
+        return pa.table({
+            "kind": pa.array([0] * len(et) + [1] * len(ui), pa.int8()),
+            "val": pa.concat_arrays([et, ui]),
+        })
+
+    per_kind = grouped_agg(distinct(ev.map_batches(both_kinds,
+                                                   batch_format="pyarrow"),
+                                    ["kind", "val"]),
+                           keys=["kind"], aggs={"n": (None, "count")}).take_all()
+    counts = {int(r["kind"]): int(r["n"]) for r in per_kind}
     return ray.data.from_arrow(pa.table({
-        "n_event_types": pa.array([n_types], pa.int64()),
-        "n_users": pa.array([n_users], pa.int64())}))
+        "n_event_types": pa.array([counts.get(0, 0)], pa.int64()),
+        "n_users": pa.array([counts.get(1, 0)], pa.int64())}))

@@ -181,7 +181,8 @@ def connected_components(edges: Dataset, num_partitions: int = 32,
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         return _unionfind_assignments(edges), {
-            "cc_rounds": 0, "cc_mode": "unionfind", "cc_edges": n_edges}
+            "cc_rounds": 0, "cc_mode": "unionfind", "cc_edges": n_edges,
+            "cc_converged": True}
 
     # materialize() per round truncates the lazy lineage — without it every
     # checksum re-executes all previous rounds. The edge table is the only
@@ -189,6 +190,7 @@ def connected_components(edges: Dataset, num_partitions: int = 32,
     edges = _canon_dedup(edges, num_partitions).materialize()
     prev = _checksum(edges)
     rounds = 0
+    converged = False
     for rounds in range(1, max_rounds + 1):
         e = _star_step(edges, _large_star_fn, num_partitions)
         e = _star_step(e, _small_star_fn, num_partitions)
@@ -196,8 +198,17 @@ def connected_components(edges: Dataset, num_partitions: int = 32,
         cur = _checksum(e)
         edges = e
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # assignments extracted from a non-converged edge set can split a
+        # component — surface it loudly instead of returning silently
+        import warnings
+        warnings.warn(
+            f"connected_components hit max_rounds={max_rounds} without "
+            "checksum fixpoint; assignments may split components "
+            "(raise max_rounds)", RuntimeWarning)
 
     # converged: every canonical edge is (root=u, leaf=v).
     def leaf_rows(batch: pa.Table) -> pa.Table:
@@ -217,4 +228,5 @@ def connected_components(edges: Dataset, num_partitions: int = 32,
     roots = edges.map_batches(add_root_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(root_rows, batch_format="pandas")
     assignments = leaves.union(roots)
-    return assignments, {"cc_rounds": rounds, "cc_mode": "star", "cc_edges": n_edges}
+    return assignments, {"cc_rounds": rounds, "cc_mode": "star",
+                         "cc_edges": n_edges, "cc_converged": converged}

@@ -21,6 +21,7 @@ from typing import Iterable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -130,38 +131,90 @@ def hash_join(left: Dataset, right: Dataset, on: tuple[str, ...],
 
 def broadcast_semi_join(ds: Dataset, keys: Iterable, key_col: str,
                         anti: bool = False) -> Dataset:
-    """Semi/anti join against a small key set: the set is ``ray.put`` once;
-    every task reads the same object-store copy (no shuffle, no re-ship).
+    """Semi/anti join against a small key set: the set is ``ray.put`` once
+    as an Arrow array; every task reads the same object-store copy (no
+    shuffle, no re-ship) and filters with the vectorized ``pc.is_in`` kernel.
 
     Engine form of the reference's prune filter
     (/root/reference/utils/prune_retrieved.py:19-26) and its merge anti-join
     (/root/reference/utils/merge_results.py:14-20).
     """
-    ref = ray.put(frozenset(keys))
+    keys = keys if isinstance(keys, pa.Array) else pa.array(list(dict.fromkeys(keys)))
+    ref = ray.put(keys)
 
     def semi_filter(batch: pa.Table) -> pa.Table:
-        key_set = ray.get(ref)  # object-store handle, fetched per task
-        vals = batch.column(key_col).to_pylist()
-        mask = np.fromiter((v in key_set for v in vals), dtype=bool, count=len(vals))
+        value_set = ray.get(ref)  # object-store handle, fetched per task
+        col = batch.column(key_col)
+        if value_set.type != col.type:
+            value_set = value_set.cast(col.type)
+        mask = pc.is_in(col, value_set=value_set)
         if anti:
-            mask = ~mask
-        return batch.filter(pa.array(mask))
+            mask = pc.invert(mask)
+        return batch.filter(pc.fill_null(mask, False))
 
     # plain tasks: parallelism follows block count, no actor-pool ramp
     return ds.map_batches(semi_filter, batch_format="pyarrow")
 
 
+def semi_join_ds(ds: Dataset, keys_ds: Dataset, key_col: str,
+                 keys_col: str | None = None, anti: bool = False) -> Dataset:
+    """Semi/anti join where the key side is itself a Dataset: key blocks are
+    concatenated into ONE Arrow array (zero-copy ``ray.get`` of block refs —
+    no Python-object round trip through the driver) and broadcast once."""
+    keys_col = keys_col or key_col
+    blocks = [ray.get(r) for r in keys_ds.select_columns([keys_col]).to_arrow_refs()]
+    if blocks:
+        keys = pa.concat_tables(blocks).column(keys_col).combine_chunks()
+        keys = keys.unique() if isinstance(keys, pa.Array) else \
+            pa.concat_arrays(keys.chunks).unique()
+    else:
+        keys = pa.array([], pa.int64())
+    return broadcast_semi_join(ds, keys, key_col, anti=anti)
+
+
 def broadcast_lookup(ds: Dataset, mapping: dict, key_col: str, out_col: str,
                      default=None, concurrency: int = 2) -> Dataset:
-    """Add a column by dict lookup against a broadcast small table — the
-    engine form of the reference's `collection[pid]` /`queries[qid]` dict
-    probes (/root/reference/CrossEncoder/test.py:80-99)."""
-    ref = ray.put(mapping)
+    """Add a column by lookup against a broadcast small table — the engine
+    form of the reference's `collection[pid]` /`queries[qid]` dict probes
+    (/root/reference/CrossEncoder/test.py:80-99). The mapping is shipped as
+    (pd.Index, value array) and probed with the vectorized ``get_indexer``
+    (C hash-table batch lookup), never a per-row ``dict.get`` loop."""
+    idx = pd.Index(list(mapping.keys()))
+    vals = np.asarray(list(mapping.values()), dtype=object)
+    ref = ray.put((idx, vals))
 
     def lookup(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        vals = batch.column(key_col).to_pylist()
-        out = [m.get(v, default) for v in vals]
-        return batch.append_column(out_col, pa.array(out))
+        index, values = ray.get(ref)
+        pos = index.get_indexer(batch.column(key_col).to_pandas())
+        out = np.where(pos >= 0, values[np.clip(pos, 0, None)], default)
+        return batch.append_column(out_col, pa.array(out.tolist()))
 
     return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def broadcast_hash_join(large: Dataset, small: Dataset, on: tuple[str, ...],
+                        join_type: str = "inner",
+                        right_on: tuple[str, ...] | None = None,
+                        right_suffix: str = "_r") -> Dataset:
+    """Map-side join against a SMALL dimension table: the small side is
+    collected once, ``ray.put`` once, and every task merges its batch against
+    the shared copy — no shuffle of the large side at all. The textbook
+    broadcast-join case (dimension tables, lookup tables); use ``hash_join``
+    when both sides are large."""
+    on = tuple(on)
+    right_on = tuple(right_on) if right_on else on
+    sdf = small.to_pandas()
+    sdf = sdf.rename(columns=dict(zip(right_on, on)))
+    ref = ray.put(sdf)
+    how = _HOW[join_type]
+
+    def merge(batch: pa.Table) -> pa.Table:
+        right = ray.get(ref)
+        left_df = batch.to_pandas()
+        clash = [c for c in right.columns
+                 if c not in on and c in left_df.columns]
+        r = right.rename(columns={c: c + right_suffix for c in clash})
+        return pa.Table.from_pandas(left_df.merge(r, how=how, on=list(on)),
+                                    preserve_index=False)
+
+    return large.map_batches(merge, batch_format="pyarrow")

@@ -87,10 +87,16 @@ class PairScorer:
         self.prefilter = prefilter
         self._tok_cache: dict[str, tuple[list[str], np.ndarray]] = {}
         self._sim_cache: dict[tuple[str, str], float] = {}
+        # memo caches are bounded: an actor lives for the whole stage, and
+        # at 1e12-scale vocabularies unbounded memos are an OOM; reset-on-cap
+        # keeps amortization within a working set without LRU bookkeeping
+        self._cache_cap = 2_000_000
 
     def _tokens(self, text: str) -> tuple[list[str], np.ndarray]:
         hit = self._tok_cache.get(text)
         if hit is None:
+            if len(self._tok_cache) >= self._cache_cap:
+                self._tok_cache.clear()
             toks = text.split()
             if self.stats is not None and toks:
                 w = self.stats.token_weights(hash64(toks)).astype(np.float64)
@@ -104,6 +110,8 @@ class PairScorer:
         key = (a, b) if a < b else (b, a)
         v = self._sim_cache.get(key)
         if v is None:
+            if len(self._sim_cache) >= self._cache_cap:
+                self._sim_cache.clear()
             v = edit_similarity(key[0], key[1])
             self._sim_cache[key] = v
         return v
