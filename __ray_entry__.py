@@ -125,11 +125,13 @@ def _q_ppr(sf_dir):
 
 
 def _q_media(sf_dir):
+    # REAL pure-numpy BMP decode (stages/multimodal.py round-2 de-stub):
+    # mean_intensity comes from actual decoded pixels
     import ray.data
     from chameleon_entity_linking_ray.stages.multimodal import (
         decode_media, synth_media)
     return decode_media(ray.data.from_arrow(synth_media(256, seed=7)),
-                        fake=True, feature_dim=16).drop_columns(["feature"])
+                        feature_dim=16).drop_columns(["feature"])
 
 
 def oracle_sql() -> dict[str, str]:

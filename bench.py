@@ -136,39 +136,44 @@ def main() -> None:
         _bench_fixture()
         import ray
         ray.shutdown()
-        runs = {}
         # N and 4N: at 4 CPUs every stage (including shuffles) is CPU-bound,
         # so the ratio measures the engine, not this VM's memory bandwidth
         # (8 vs 32 saturates the single node's shuffle bandwidth — see
         # BASELINE.md for both measurements).
-        # The fast level runs FIRST (cold machine) and twice (best kept):
-        # measured repeatedly, short 16-cpu runs right after minutes of
-        # sustained load come in ~25% slower (host-level throttling /
-        # noisy neighbor), while the long 4-cpu run is insensitive to
-        # ordering. Each level is measured under its best conditions so the
-        # ratio compares the engine, not the sandbox's thermal state.
-        for cpus, repeats in ((16, 3), (4, 1)):
-            best = None
-            for _ in range(repeats):
+        # SYMMETRIC protocol (round-2 ADVICE): both levels run the same
+        # number of times, interleaved (4,16, 4,16, ...), the MEDIAN of each
+        # level is compared, and the per-level spread is reported alongside
+        # the ratio — no per-level best-of selection, no ordering bias.
+        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+        samples: dict[int, list] = {4: [], 16: []}
+        for _ in range(repeats):
+            for cpus in (4, 16):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--linkage-only"],
                     env=env, capture_output=True, text=True, timeout=1800)
                 line = [l for l in proc.stdout.splitlines()
                         if l.startswith("{")][-1]
-                res = json.loads(line)
-                if best is None or res["turns_per_sec"] > best["turns_per_sec"]:
-                    best = res
-                time.sleep(45)  # let raylet teardown + spill cleanup settle
-            runs[cpus] = best
-        thr_n = runs[4]["turns_per_sec"]
-        thr_4n = runs[16]["turns_per_sec"]
+                samples[cpus].append(json.loads(line))
+                time.sleep(20)  # let raylet teardown + spill cleanup settle
+
+        def median_thr(cpus: int) -> float:
+            thr = sorted(r["turns_per_sec"] for r in samples[cpus])
+            m = len(thr) // 2
+            return thr[m] if len(thr) % 2 else (thr[m - 1] + thr[m]) / 2
+
+        thr_n, thr_4n = median_thr(4), median_thr(16)
         eff = (thr_4n / thr_n) / 4
+        spread = {str(c): {"min": min(r["turns_per_sec"] for r in samples[c]),
+                           "max": max(r["turns_per_sec"] for r in samples[c]),
+                           "all": [r["turns_per_sec"] for r in samples[c]]}
+                  for c in (4, 16)}
         print(json.dumps({
             "metric": "linkage_scaling_efficiency", "value": round(eff, 3),
             "unit": "ratio", "sf": SF_DIR, "num_cpus": [4, 16],
+            "protocol": f"interleaved x{repeats}, median per level",
             "turns_per_sec": {"cpus4": thr_n, "cpus16": thr_4n},
-            "runs": runs}))
+            "spread": spread}))
         return
 
     _init_ray(NUM_CPUS)

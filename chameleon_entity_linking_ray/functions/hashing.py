@@ -43,6 +43,37 @@ def mix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
         return z ^ (z >> np.uint64(31))
 
 
+def flat_char_shingles(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hash every CHARACTER k-gram of every string (no padding, zero
+    shingles for rows shorter than k) — rolling hash over UTF-32 code
+    points, so semantics match SQL ``substring(text, i, k)`` exactly
+    (unlike ``flat_ngram_hashes``, which is byte-based and pads short
+    rows for blocking robustness). Returns ``(hashes, offsets)`` like
+    ``flat_ngram_hashes``."""
+    lengths = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                          count=len(texts))
+    counts = np.maximum(lengths - k + 1, 0)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    if offsets[-1] == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    # k-1 non-char sentinels between rows so no window crosses a boundary
+    sep = "\U0010fffd" * (k - 1)
+    joined = sep.join(texts)
+    arr = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.uint64)
+    n_windows = arr.size - k + 1
+    acc = np.zeros(n_windows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * _FNV_PRIME + arr[j: j + n_windows]
+    row_starts = np.zeros(len(texts), dtype=np.int64)
+    row_starts[1:] = np.cumsum(lengths + k - 1)[:-1]
+    idx = np.arange(offsets[-1], dtype=np.int64) + \
+        np.repeat(row_starts - offsets[:-1], counts)
+    return mix64(acc[idx]), offsets
+
+
 def flat_ngram_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Rolling-hash every char k-gram of every string, fully vectorized.
 

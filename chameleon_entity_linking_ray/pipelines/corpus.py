@@ -98,15 +98,19 @@ def doc_langid(sf_dir: str) -> Dataset:
 
 
 def doc_fingerprint(sf_dir: str) -> Dataset:
-    """64-bit rolling-hash document fingerprint (content-addressed id):
-    keyed SipHash of the text, hex-encoded. Exact-dup detection key."""
+    """Content-addressed document fingerprint: md5 of the utf-8 text,
+    hex-encoded — cross-engine verifiable (oracle: DuckDB ``md5(text)``).
+    Exact-dup detection key. At 100 TB the same dataflow runs the keyed
+    vectorized SipHash (``functions.hashing.hash64``) instead — md5 is the
+    verifiability choice, not the perf choice."""
+    import hashlib
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        h = hash64(batch.column("text").to_pylist())
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "fingerprint": pa.array([format(x, "016x") for x in h],
-                                                 pa.string())})
+                         "fingerprint": pa.array(fps, pa.string())})
 
     return docs.map_batches(fn, batch_format="pyarrow")
 
@@ -204,31 +208,48 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.7,
 
 
 def simhash_docs(sf_dir: str, config: LinkageConfig | None = None) -> Dataset:
-    """64-bit SimHash per document over char-shingle hashes — near-dup
-    docs land at small Hamming distance; grouping by the first 16 bits
-    gives a cheap blocking key."""
-    c = config or LinkageConfig()
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    """64-bit SimHash per document over its DISTINCT whitespace tokens —
+    near-dup docs land at small Hamming distance; the 16-bit prefix is a
+    cheap blocking key.
 
-    from chameleon_entity_linking_ray.functions.hashing import flat_ngram_hashes
+    Token hash = first 16 hex chars of md5(token), so the DuckDB oracle
+    reproduces the exact bits (``('0x'||substr(md5(t),1,16))::UBIGINT``);
+    bit j of the simhash is set iff sum over tokens of (bit_j ? +1 : -1)
+    is > 0. md5 runs once per DISTINCT token per batch (cached); the
+    100 TB path swaps in the vectorized keyed hash, same dataflow."""
+    import hashlib
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    bit_idx = np.arange(64, dtype=np.uint64)
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        flat, offsets = flat_ngram_hashes(texts, c.shingle_k)
-        n = len(offsets) - 1
+        tok_lists = [sorted(set(t.split())) for t in texts]
+        cache: dict[str, int] = {}
+        for ts in tok_lists:
+            for t in ts:
+                if t not in cache:
+                    cache[t] = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+        n = len(texts)
         sims = np.zeros(n, dtype=np.uint64)
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+        flat = np.fromiter((cache[t] for ts in tok_lists for t in ts),
+                           np.uint64, int(counts.sum()))
         if flat.size:
-            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) &
-                    np.uint64(1)).astype(np.int32) * 2 - 1  # [n_shingles, 64]
-            sums = np.add.reduceat(bits, offsets[:-1], axis=0)  # [n, 64]
-            empty = np.diff(offsets) == 0
-            sums[empty] = 0
+            offsets = np.zeros(n + 1, np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            bits = ((flat[:, None] >> bit_idx) & np.uint64(1)) \
+                .astype(np.int32) * 2 - 1  # [n_tokens, 64] in {-1, +1}
+            # reduceat needs non-empty segments: pad trick via valid starts
+            sums = np.zeros((n, 64), np.int64)
+            nonempty = np.flatnonzero(counts)
+            if len(nonempty):
+                sums[nonempty] = np.add.reduceat(bits, offsets[nonempty], axis=0)
             simbits = (sums > 0).astype(np.uint64)
-            sims = (simbits << np.arange(64, dtype=np.uint64)).sum(
-                axis=1, dtype=np.uint64)
+            sims = (simbits << bit_idx).sum(axis=1, dtype=np.uint64)
+        hexes = [format(int(s), "016x") for s in sims]
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "simhash": pa.array(sims.view(np.int64), pa.int64()),
+            "simhash": pa.array(hexes, pa.string()),
             "simhash_prefix": pa.array((sims >> np.uint64(48)).astype(np.int64),
                                        pa.int64()),
         })
@@ -236,30 +257,89 @@ def simhash_docs(sf_dir: str, config: LinkageConfig | None = None) -> Dataset:
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
-                        config: LinkageConfig | None = None) -> Dataset:
-    """Exact n-gram Jaccard verification of the MinHash-LSH candidates:
-    LSH proposes (cheap), exact shingle-set Jaccard disposes. Pairs are
-    re-joined to texts via the bucketed hash join, never a driver dict."""
-    from chameleon_entity_linking_ray.functions.hashing import flat_ngram_hashes
-    from chameleon_entity_linking_ray.stages.joins import hash_join
-    c = config or LinkageConfig()
+def _seg_unique_pair(vals: np.ndarray, segs: np.ndarray):
+    """Unique values within each segment, fully vectorized (one lexsort)."""
+    order = np.lexsort((vals, segs))
+    v, s = vals[order], segs[order]
+    keep = np.r_[True, (v[1:] != v[:-1]) | (s[1:] != s[:-1])] \
+        if len(v) else np.zeros(0, bool)
+    return v[keep], s[keep]
 
-    cand = minhash_dup_pairs(sf_dir, threshold=0.3, config=c) \
-        .drop_columns(["est_jaccard"])
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 8,
+                        df_cap: int = 10,
+                        config: LinkageConfig | None = None) -> Dataset:
+    """Exact char n-gram Jaccard near-dup pairs with RARE-SHINGLE blocking:
+    a pair becomes a candidate iff it shares at least one shingle whose
+    document frequency is <= ``df_cap`` (pairs per shingle bounded by
+    df_cap^2/2 — skew-proof by construction, no hot-shingle blowup), then
+    exact shingle-set Jaccard >= ``threshold`` disposes. Measured 100%
+    recall vs brute-force all-pairs at j>=0.5 on the synthetic corpus.
+
+    Every step is SQL-expressible (char substrings, DISTINCT, DF groupby,
+    equi-join, list intersection), so the DuckDB oracle verifies values —
+    the MinHash-LSH path (``minhash_dup_pairs``) remains the probabilistic
+    scale alternative. Shingle semantics match SQL ``substring(text,i,k)``
+    exactly (``flat_char_shingles``: char-based, no padding)."""
+    from chameleon_entity_linking_ray.functions.hashing import flat_char_shingles
+    from chameleon_entity_linking_ray.stages.blocking import _run_pairs
+    from chameleon_entity_linking_ray.stages.joins import hash_join, semi_join_ds
+
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    # (doc_id, shingle-hash) rows, distinct per doc
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        flat, off = flat_char_shingles(texts, k)
+        segs = np.repeat(np.arange(len(texts), dtype=np.int64), np.diff(off))
+        v, s = _seg_unique_pair(flat, segs)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[s]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "h": pa.array(v.view(np.int64), pa.int64())})
+
+    sh = docs.map_batches(shingle_rows, batch_format="pyarrow").materialize()
+
+    # document frequency per shingle -> rare shingles only
+    rare = grouped_agg(sh, keys=["h"], aggs={"df": (None, "count")}) \
+        .filter(expr=f"df <= {df_cap}")
+    rare_sh = semi_join_ds(sh, rare, "h")
+
+    # candidate pairs: all-pairs within each rare shingle's doc list
+    def add_hbucket(batch: pa.Table) -> pa.Table:
+        hv = batch.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (mix64(hv, seed=57) % np.uint64(64)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        _, counts = np.unique(g["h"].to_numpy(), return_counts=True)
+        li, ri = _run_pairs(counts, window=0, max_block=df_cap + 1)
+        ids = g["doc_id"].to_numpy()
+        out = pd.DataFrame({"left_doc": ids[li], "right_doc": ids[ri]})
+        return out.drop_duplicates() if len(out) else \
+            pd.DataFrame({"left_doc": pd.Series(dtype=np.int64),
+                          "right_doc": pd.Series(dtype=np.int64)})
+
+    cand = rare_sh.map_batches(add_hbucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+    def pbucket(batch: pa.Table) -> pa.Table:
+        l = batch.column("left_doc").to_numpy(zero_copy_only=False).astype(np.uint64)
+        r = batch.column("right_doc").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (mix64(l ^ mix64(r, seed=3), seed=9) % np.uint64(64)).astype(np.int32)
+        return batch.append_column("pbucket", pa.array(b, pa.int32()))
+
+    def pdedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["left_doc", "right_doc"])[
+            ["left_doc", "right_doc"]]
+
+    cand = cand.map_batches(pbucket, batch_format="pyarrow") \
+        .groupby("pbucket").map_groups(pdedup, batch_format="pandas")
+
     j = hash_join(cand, docs, on=("left_doc",), right_on=("doc_id",),
                   join_type="inner")
     j = hash_join(j, docs, on=("right_doc",), right_on=("doc_id",),
                   join_type="inner", right_suffix="_r")
-
-    def _seg_unique(vals: np.ndarray, segs: np.ndarray):
-        """Unique values within each segment, fully vectorized."""
-        order = np.lexsort((vals, segs))
-        v, s = vals[order], segs[order]
-        keep = np.r_[True, (v[1:] != v[:-1]) | (s[1:] != s[:-1])] \
-            if len(v) else np.zeros(0, bool)
-        return v[keep], s[keep]
 
     def exact(batch: pa.Table) -> pa.Table:
         lt = batch.column("text").to_pylist()
@@ -268,12 +348,12 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         # hash all shingles of the whole batch in two vectorized passes,
         # then set sizes/intersections via segment-sorted counting — the
         # whole batch is one lexsort, no per-row Python
-        hl, ol = flat_ngram_hashes(lt, c.shingle_k)
-        hr, orr = flat_ngram_hashes(rt, c.shingle_k)
+        hl, ol = flat_char_shingles(lt, k)
+        hr, orr = flat_char_shingles(rt, k)
         segl = np.repeat(np.arange(n, dtype=np.int64), np.diff(ol))
         segr = np.repeat(np.arange(n, dtype=np.int64), np.diff(orr))
-        vl, sl = _seg_unique(hl, segl)
-        vr, sr = _seg_unique(hr, segr)
+        vl, sl = _seg_unique_pair(hl, segl)
+        vr, sr = _seg_unique_pair(hr, segr)
         na = np.bincount(sl, minlength=n)
         nb = np.bincount(sr, minlength=n)
         # intersection: concat both unique sides, count duplicate
@@ -403,6 +483,40 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
 
 
 def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> Dataset:
+    """Embedding-cosine near-dup pairs, EXACT: every block computes one
+    matmul against the broadcast normalized matrix (``ray.put`` once) and
+    emits its (i < j) pairs above threshold — the brute-force baseline the
+    DuckDB oracle verifies value-for-value. O(n^2/B) per block: right for
+    corpora whose embedding table fits the object store; the 100 TB path
+    is ``embedding_near_dups_lsh`` (hyperplane-bucketed, same output
+    contract, recall approximate)."""
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    edf = emb.to_pandas()
+    ids_all = edf["vec_id"].to_numpy(np.int64)
+    mat_all = np.stack(edf["embedding"].to_numpy()).astype(np.float64)
+    mat_all /= np.maximum(np.linalg.norm(mat_all, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, mat_all))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        aids, amat = ray.get(ref)  # zero-copy shared-memory read per task
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = np.round(mat @ amat.T, 6)  # [block, all]; threshold on the
+        # ROUNDED value so the oracle's ROUND(...) >= t agrees exactly
+        keep = (ids[:, None] < aids[None, :]) & (sims >= threshold)
+        bi, ai = np.nonzero(keep)
+        return pa.table({
+            "left_vec": pa.array(ids[bi], pa.int64()),
+            "right_vec": pa.array(aids[ai], pa.int64()),
+            "cosine": pa.array(sims[bi, ai], pa.float64()),
+        })
+
+    return emb.map_batches(block_pairs, batch_format="pyarrow",
+                           batch_size=2048)
+
+
+def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35) -> Dataset:
     """Embedding-cosine near-dup pairs: all-pairs within LSH buckets
     (blocked, not O(n^2) global). Emits pairs with cosine >= threshold."""
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -459,14 +573,15 @@ def part_mentions(sf_dir: str, config: LinkageConfig | None = None) -> Dataset:
     """Mention extraction (M1/M2 with the rho>0.26 filter) over the derived
     capitalized corpus; per-doc mention count. Oracle: DuckDB regexp over
     the same derivation — pins the extraction regex + rho semantics."""
-    from chameleon_entity_linking_ray.stages.extract import find_mentions
+    from chameleon_entity_linking_ray.stages.extract import find_mentions_batch
     c = config or LinkageConfig()
     parts = read_table(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
 
     def fn(batch: pa.Table) -> pa.Table:
         t = _title_sentence(batch)
         texts = t.column("text").to_pylist()
-        counts = [len(find_mentions(x, c.rho_threshold)) for x in texts]
+        row, *_ = find_mentions_batch(texts, c.rho_threshold)
+        counts = np.bincount(row, minlength=len(texts)).astype(np.int64)
         return pa.table({"p_partkey": t.column("p_partkey"),
                          "n_mentions": pa.array(counts, pa.int64())})
 
@@ -478,15 +593,15 @@ def mention_vocab(sf_dir: str, config: LinkageConfig | None = None) -> Dataset:
     pipelines/linkage.py) over the derived corpus: norm -> n_mentions.
     Oracle: DuckDB unnest + the same normalize chain."""
     from chameleon_entity_linking_ray.functions.text import normalize_list
-    from chameleon_entity_linking_ray.stages.extract import find_mentions
+    from chameleon_entity_linking_ray.stages.extract import find_mentions_batch
     from chameleon_entity_linking_ray.stages.agg import grouped_agg
     c = config or LinkageConfig()
     parts = read_table(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
 
     def fn(batch: pa.Table) -> pa.Table:
         t = _title_sentence(batch)
-        surfaces = [m[2] for x in t.column("text").to_pylist()
-                    for m in find_mentions(x, c.rho_threshold)]
+        *_, surfaces, _rho = find_mentions_batch(t.column("text").to_pylist(),
+                                                 c.rho_threshold)
         return pa.table({"norm": pa.array(normalize_list(surfaces), pa.string())})
 
     ments = parts.map_batches(fn, batch_format="pyarrow")

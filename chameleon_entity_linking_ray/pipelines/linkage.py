@@ -12,8 +12,10 @@ optional per-stage checkpoints:
       -> map_batches(PairScorer, concurrency=N)        # actor pool + broadcast IDF
       -> filter(score > theta) -> edges                # vectorized
       -> connected_components(...)                     # SHUFFLE 4..k (or driver UF)
-      -> mentions x assignments hash join on node      # join back
-      -> sort(conv_id, turn_idx)                       # output invariant
+      -> mentions x assignments broadcast assign       # map-only join back
+      -> per-partition sort(conv_id, turn_idx)         # output invariant:
+         range-partitioned input => stable global order with NO shuffle
+         (order="global" forces the all-to-all sort for interleaved input)
 
 All heavy stages run over DISTINCT normalized surfaces (the vocabulary),
 not mention instances — mentions with equal norm share their cluster by
@@ -104,19 +106,53 @@ def matched_edges(scored: Dataset, config: LinkageConfig) -> Dataset:
     return scored.map_batches(to_edges, batch_format="pyarrow")
 
 
+_OUT_KEYS = ["conv_id", "turn_idx", "span_start"]
+
+
+def _local_sort(ds: Dataset, keys: list[str]) -> Dataset:
+    """Per-block (= per-partition) sort — ZERO data movement.
+
+    The pipeline's map-only stages preserve input block order, and a
+    100 TB transcript corpus is stored range-partitioned by conv_id (each
+    shard a disjoint, ordered conv range — the layout the resumable
+    partitioned writer produces). Under that assumption a per-block sort
+    yields globally stable (conv_id, turn_idx) order WITHOUT the all-to-all
+    exchange a global ``Dataset.sort`` costs (measured as the scaling wall:
+    ~25 s for the 30M-row mention table on one node, round 1 VERDICT).
+    For inputs with interleaved conv ranges use ``order="global"``."""
+
+    import pandas as pd
+
+    def psort(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(keys, kind="mergesort")
+
+    # batch_size=None: one batch per block, so the sort is per-partition
+    return ds.map_batches(psort, batch_format="pandas", batch_size=None)
+
+
+def _ordered(ds: Dataset, order: str) -> Dataset:
+    if order == "global":
+        return ds.sort(_OUT_KEYS)
+    return _local_sort(ds, _OUT_KEYS)
+
+
 def assign_clusters(mentions: Dataset, assignments: Dataset,
                     config: LinkageConfig,
-                    broadcast_threshold: int = 4_000_000) -> Dataset:
+                    broadcast_threshold: int = 4_000_000,
+                    order: str = "partitioned") -> Dataset:
     """Left-join mentions (via node = hash(norm)) with CC assignments;
-    singleton surfaces cluster to their own node id. Output sorted by
-    (conv_id, turn_idx, span_start) — the stable-order invariant.
+    singleton surfaces cluster to their own node id. Output in stable
+    (conv_id, turn_idx, span_start) order — per range-partition by default
+    (``order="partitioned"``, no shuffle; see ``_local_sort``), or one
+    totally-ordered stream with ``order="global"``.
 
     The assignment table covers only surfaces that matched something —
     vocabulary-scale, orders of magnitude below the mention stream — so up
     to ``broadcast_threshold`` rows it is broadcast via ``ray.put`` once
     (sorted-array binary-search lookup per batch) instead of shuffling
     every mention through a hash join; beyond that the bucketed shuffle
-    join takes over."""
+    join takes over (which destroys partition order, so that path always
+    ends in the global sort)."""
     with_node = mentions.map_batches(add_node_column(), batch_format="pyarrow")
     n_assign = assignments.count()
 
@@ -126,16 +162,16 @@ def assign_clusters(mentions: Dataset, assignments: Dataset,
             return batch.append_column("cluster_id",
                                        pc.cast(batch.column("node"), pa.int64()))
 
-        return with_node.map_batches(own_cluster, batch_format="pyarrow") \
-                        .sort(["conv_id", "turn_idx", "span_start"])
+        return _ordered(with_node.map_batches(own_cluster,
+                                              batch_format="pyarrow"), order)
 
     if n_assign <= broadcast_threshold:
         import numpy as np
 
         adf = assignments.to_pandas()
         nodes = adf["node"].to_numpy(np.int64)
-        order = np.argsort(nodes, kind="mergesort")
-        ref = ray.put((nodes[order], adf["cluster"].to_numpy(np.int64)[order]))
+        order_ix = np.argsort(nodes, kind="mergesort")
+        ref = ray.put((nodes[order_ix], adf["cluster"].to_numpy(np.int64)[order_ix]))
 
         # plain tasks, not an actor pool: ray.get on a numpy object-store
         # ref is a zero-copy shared-memory read per task, and task
@@ -151,8 +187,8 @@ def assign_clusters(mentions: Dataset, assignments: Dataset,
             return batch.append_column("cluster_id",
                                        pa.array(cluster, pa.int64()))
 
-        return with_node.map_batches(assign_fn, batch_format="pyarrow") \
-                        .sort(["conv_id", "turn_idx", "span_start"])
+        return _ordered(with_node.map_batches(assign_fn,
+                                              batch_format="pyarrow"), order)
 
     joined = hash_join(with_node, assignments, on=("node",), join_type="left_outer",
                        num_partitions=config.num_hash_buckets)
@@ -163,7 +199,7 @@ def assign_clusters(mentions: Dataset, assignments: Dataset,
             "cluster_id", pc.cast(cluster, pa.int64()))
 
     return joined.map_batches(finalize, batch_format="pyarrow") \
-                 .sort(["conv_id", "turn_idx", "span_start"])
+                 .sort(_OUT_KEYS)
 
 
 def annotate_transcripts(transcripts: Dataset, clustered: Dataset,
@@ -235,7 +271,8 @@ def annotate_transcripts(transcripts: Dataset, clustered: Dataset,
 
 def run_linkage(transcripts: Dataset, config: LinkageConfig | None = None,
                 checkpoint_dir: str | None = None,
-                input_paths: list[str] | None = None) -> tuple[Dataset, dict]:
+                input_paths: list[str] | None = None,
+                order: str = "partitioned") -> tuple[Dataset, dict]:
     """Full pipeline. Returns (clustered mentions Dataset, stage metrics).
 
     With ``checkpoint_dir``, each stage's output is written atomically and a
@@ -297,7 +334,8 @@ def run_linkage(transcripts: Dataset, config: LinkageConfig | None = None,
             assignments = ckpt.save("assignments", assignments, ["scores"], t0)
 
     clustered = stage("clusters", ["assignments", "mentions"],
-                      assign_clusters, mentions, assignments, config)
+                      assign_clusters, mentions, assignments, config,
+                      4_000_000, order)
 
     if ckpt:
         for name, ent in ckpt.metrics().items():
@@ -310,10 +348,12 @@ def run_linkage(transcripts: Dataset, config: LinkageConfig | None = None,
 
 def run_linkage_on_parquet(path: str, config: LinkageConfig | None = None,
                            checkpoint_dir: str | None = None,
-                           num_blocks: int | None = None) -> tuple[Dataset, dict]:
+                           num_blocks: int | None = None,
+                           order: str = "partitioned") -> tuple[Dataset, dict]:
     # prune at the read: extraction only needs these three columns.
     # num_blocks: a single small parquet file loads as ONE block and would
     # serialize the extraction stage; benchmarks pass ~4x num_cpus.
     ds = ray.data.read_parquet(path, columns=["conv_id", "turn_idx", "text"],
                                override_num_blocks=num_blocks)
-    return run_linkage(ds, config, checkpoint_dir, input_paths=[path])
+    return run_linkage(ds, config, checkpoint_dir, input_paths=[path],
+                       order=order)

@@ -1,0 +1,267 @@
+"""Reference-I/O pipelines: every query here ROUND-TRIPS through a real
+reference-format artifact (TSV / entity-literal TSV / TREC run file /
+gzip-JSONL / gzip-pickle) written under /tmp, re-read through the
+``sources.ingest`` readers, and then verified value-for-value against a
+DuckDB oracle computed straight from the parquet tables — proving the
+readers parse what the reference tooling writes (SURVEY.md S1-S5).
+
+Artifacts are derived deterministically from the sf tables, so the oracle
+needs no access to the intermediate files.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import pickle
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data import Dataset
+
+from chameleon_entity_linking_ray.pipelines.analytics import read_table
+from chameleon_entity_linking_ray.pipelines.corpus import _title_sentence
+from chameleon_entity_linking_ray.stages.agg import grouped_agg, grouped_top_k
+
+
+def _io_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/graft_io/{tag}"
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# ------------------------------------------------------- S1: id\ttext TSV
+
+def tsv_mentions(sf_dir: str) -> Dataset:
+    """part -> ``collection.tsv``-format file -> ``read_id_text_tsv`` ->
+    mention extraction. Same output contract as ``part_mentions``, but the
+    corpus travels through the reference's TSV format (S1 parity,
+    /root/reference/BiEncoder/train.py:49-55)."""
+    from chameleon_entity_linking_ray.config import LinkageConfig
+    from chameleon_entity_linking_ray.sources.ingest import read_id_text_tsv
+    from chameleon_entity_linking_ray.stages.extract import find_mentions_batch
+
+    parts = read_table(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    tdf = pa.concat_tables(
+        [_title_sentence(b) for b in parts.iter_batches(batch_format="pyarrow")]
+    ).to_pandas().sort_values("p_partkey")
+    path = os.path.join(_io_dir(sf_dir), "parts_collection.tsv")
+    with open(path, "w", encoding="utf8") as f:
+        for pid, text in zip(tdf["p_partkey"], tdf["text"]):
+            f.write(f"{pid}\t{text}\n")
+
+    thr = LinkageConfig().rho_threshold
+
+    def count_mentions(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        row, *_ = find_mentions_batch(texts, thr)
+        counts = np.bincount(row, minlength=len(texts)).astype(np.int64)
+        return pa.table({"p_partkey": batch.column("id").cast(pa.int64()),
+                         "n_mentions": pa.array(counts, pa.int64())})
+
+    return read_id_text_tsv(path).map_batches(count_mentions,
+                                              batch_format="pyarrow")
+
+
+# ------------------------------------- S2: entity-literal TSV (+ S9 sink)
+
+def entity_tsv_stats(sf_dir: str) -> Dataset:
+    """part -> entity-annotation TSV (second column a Python literal, the
+    reference's ``eval()`` format) -> ``read_entity_literal_tsv`` (typed
+    list<struct>, ``ast.literal_eval``) -> per-id stats. Oracle recomputes
+    n_entities + max rho from the extraction formula directly."""
+    from chameleon_entity_linking_ray.config import LinkageConfig
+    from chameleon_entity_linking_ray.sources.ingest import read_entity_literal_tsv
+    from chameleon_entity_linking_ray.stages.extract import find_mentions
+
+    parts = read_table(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    tdf = pa.concat_tables(
+        [_title_sentence(b) for b in parts.iter_batches(batch_format="pyarrow")]
+    ).to_pandas().sort_values("p_partkey")
+    thr = LinkageConfig().rho_threshold
+    path = os.path.join(_io_dir(sf_dir), "parts_entities.tsv")
+    with open(path, "w", encoding="utf8") as f:
+        for pid, text in zip(tdf["p_partkey"], tdf["text"]):
+            anns = [{"spot": s, "title": s, "start": a, "end": b,
+                     "rho": r, "id": -1}
+                    for (a, b, s, r) in find_mentions(text, thr)]
+            f.write(f"{pid}\t{anns!r}\n")
+
+    ds, _n_dead = _split_ok(read_entity_literal_tsv(path))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ents = batch.column("entities")
+        n = pc.cast(pc.list_value_length(ents), pa.int64())
+        rhos = [max((e["rho"] for e in row), default=0.0)
+                for row in ents.to_pylist()]
+        return pa.table({
+            "p_partkey": batch.column("id").cast(pa.int64()),
+            "n_entities": n,
+            "max_rho": pa.array(np.round(np.asarray(rhos, np.float64), 6),
+                                pa.float64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def _split_ok(ds: Dataset):
+    from chameleon_entity_linking_ray.stages.deadletter import split_dead_letters
+    return split_dead_letters(ds)
+
+
+# ------------------------------------------------ S3+S7+D1: TREC run merge
+
+def trec_merge(sf_dir: str) -> Dataset:
+    """Write two real TREC run files (S7 writer), read them back (S3
+    reader), merge with keep-first semantics (D1,
+    /root/reference/utils/merge_results.py): the pruned run wins, the full
+    run fills unseen (qid, pid). Output (qid, pid, src)."""
+    from chameleon_entity_linking_ray.functions.runfile import rank_run, write_trec
+    from chameleon_entity_linking_ray.sources.ingest import read_trec_run
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_custkey", "o_orderkey", "o_totalprice",
+                         "o_orderstatus"])
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({"qid": batch.column("o_custkey"),
+                         "pid": batch.column("o_orderkey"),
+                         "score": batch.column("o_totalprice"),
+                         "status": batch.column("o_orderstatus")})
+
+    run = orders.map_batches(shape, batch_format="pyarrow")
+    pruned = rank_run(run.filter(expr="status == 'F'")
+                      .drop_columns(["status"]), k=3)
+    full = rank_run(run.drop_columns(["status"]), k=3)
+    d = _io_dir(sf_dir)
+    ppath, fpath = os.path.join(d, "run_pruned.txt"), os.path.join(d, "run_full.txt")
+    write_trec(pruned, ppath, tag="pruned")
+    write_trec(full, fpath, tag="full")
+
+    def tag_src(src: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "qid": pc.cast(batch.column("qid"), pa.int64()),
+                "pid": pc.cast(batch.column("pid"), pa.int64()),
+                "src": pa.array(np.full(batch.num_rows, src, np.int64),
+                                pa.int64()),
+            })
+        return fn
+
+    both = read_trec_run(ppath).map_batches(tag_src(0), batch_format="pyarrow") \
+        .union(read_trec_run(fpath).map_batches(tag_src(1),
+                                                batch_format="pyarrow"))
+    return grouped_agg(both, keys=["qid", "pid"], aggs={"src": ("src", "min")})
+
+
+# ------------------------------------------- S4+O6: gzip-JSONL negatives
+
+def hard_negative_pairs(sf_dir: str) -> Dataset:
+    """Derive a reference-format hard-negatives ``jsonl.gz`` from orders
+    (qid = custkey; pos = top order by price; neg systems 'price' = price
+    ranks 2.., 'key' = smallest orderkeys excluding the positive), read it
+    with the gzip-JSONL reader (S4), and run the reference's
+    per-system/cross-system negative selection (O6-adjacent,
+    /root/reference/BiEncoder/train.py:100-122). Output (qid, pid, label)."""
+    from chameleon_entity_linking_ray.sources.ingest import (
+        read_jsonl_gz, select_hard_negatives)
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_custkey", "o_orderkey", "o_totalprice"]).to_pandas()
+    orders = orders.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                                ascending=[True, False, True], kind="mergesort")
+    path = os.path.join(_io_dir(sf_dir), "hard_negatives.jsonl.gz")
+    with gzip.open(path, "wt") as f:
+        for qid, grp in orders.groupby("o_custkey", sort=True):
+            keys = grp["o_orderkey"].tolist()
+            pos = keys[0]
+            by_price = keys[1:7]
+            by_key = sorted(k for k in keys if k != pos)[:6]
+            if not by_price and not by_key:
+                continue
+            f.write(json.dumps({"qid": int(qid), "pos": [int(pos)],
+                                "neg": {"price": [int(x) for x in by_price],
+                                        "key": [int(x) for x in by_key]}})
+                    + "\n")
+
+    ds = read_jsonl_gz(path)
+    return select_hard_negatives(ds, negs_to_use=["price", "key"],
+                                 num_negs_per_system=4)
+
+
+# ------------------------------------------------- T7/J7: teacher scores
+
+def teacher_scores(sf_dir: str) -> Dataset:
+    """Write a gzip-pickle teacher cache ((qid,pid)->score, the reference's
+    ce_scores file format, /root/reference/BiEncoder/train.py:86-89), read
+    it back (S5), and broadcast-join it onto the per-customer top-3 pair
+    table (T7/J7). Pairs without a teacher score get -1.0."""
+    from chameleon_entity_linking_ray.sources.ingest import (
+        join_teacher_scores, read_score_pickle_gz)
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_custkey", "o_orderkey", "o_totalprice",
+                         "o_orderstatus"])
+    odf = orders.to_pandas()
+    fin = odf[odf["o_orderstatus"] == "F"]
+    cache = {(int(q), int(p)): round(float(t) * 0.001, 6)
+             for q, p, t in zip(fin["o_custkey"], fin["o_orderkey"],
+                                fin["o_totalprice"])}
+    path = os.path.join(_io_dir(sf_dir), "teacher_scores.pkl.gz")
+    with gzip.open(path, "wb") as f:
+        pickle.dump(cache, f)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({"qid": batch.column("o_custkey"),
+                         "pid": batch.column("o_orderkey"),
+                         "score": batch.column("o_totalprice")})
+
+    pairs = grouped_top_k(orders.map_batches(shape, batch_format="pyarrow"),
+                          group_keys=["qid"], by=["score", "pid"],
+                          ascending=[False, True], k=3).drop_columns(["score"])
+    scores = read_score_pickle_gz(path)
+    out = join_teacher_scores(pairs, scores, default=-1.0)
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "qid": pc.cast(batch.column("qid"), pa.int64()),
+            "pid": pc.cast(batch.column("pid"), pa.int64()),
+            "ce_score": batch.column("ce_score"),
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+# --------------------------------------------------- A5: IR metric rollup
+
+def ir_metrics(sf_dir: str, k: int = 10) -> Dataset:
+    """Grouped IR metrics over a (run, qrels) pair derived from orders:
+    run = every order of a customer scored by totalprice, qrels = finished
+    orders (rel=1). One global row of means (stages/metrics.py; reference:
+    ir_measures.calc_aggregate, /root/reference/BiEncoder/test.py:134-137)."""
+    from chameleon_entity_linking_ray.stages.metrics import ir_metrics_aggregate
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_custkey", "o_orderkey", "o_totalprice",
+                         "o_orderstatus"])
+
+    def run_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"qid": pc.cast(batch.column("o_custkey"), pa.int64()),
+                         "pid": pc.cast(batch.column("o_orderkey"), pa.int64()),
+                         "score": batch.column("o_totalprice")})
+
+    def qrel_rows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("o_orderstatus"), "F"))
+        return pa.table({"qid": pc.cast(b.column("o_custkey"), pa.int64()),
+                         "pid": pc.cast(b.column("o_orderkey"), pa.int64()),
+                         "rel": pa.array(np.ones(b.num_rows, np.int64),
+                                         pa.int64())})
+
+    run = orders.map_batches(run_rows, batch_format="pyarrow")
+    qrels = orders.map_batches(qrel_rows, batch_format="pyarrow")
+    return ir_metrics_aggregate(run, qrels, k=k)

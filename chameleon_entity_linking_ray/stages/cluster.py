@@ -129,38 +129,42 @@ def _checksum(edges: Dataset) -> tuple[int, int]:
 
 
 def _unionfind_assignments(edges: Dataset) -> Dataset:
-    """Driver union-find over a provably-small edge set (streamed in
-    batches): avoids the per-round shuffles when the matched-pair set fits
-    one process. cluster = min node in component (union-by-min keeps the
-    root the minimum)."""
+    """Driver CC over a provably-small edge set — fully VECTORIZED min-label
+    propagation with pointer jumping (no per-edge Python loop; ~10 O(E)
+    numpy rounds for 1M edges): avoids the per-round shuffles when the
+    matched-pair set fits one process. cluster = min node in component
+    (labels start as compact indices of the SORTED node array, so the
+    minimum label is the minimum node id)."""
     import ray.data
 
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for batch in edges.iter_batches(batch_size=65536, batch_format="pandas"):
-        for u, v in zip(batch["u"].to_numpy(), batch["v"].to_numpy()):
-            ru, rv = find(int(u)), find(int(v))
-            if ru != rv:
-                lo, hi = (ru, rv) if ru < rv else (rv, ru)
-                parent[hi] = lo
-    if not parent:
+    parts_u, parts_v = [], []
+    for batch in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        parts_u.append(batch.column("u").to_numpy(zero_copy_only=False))
+        parts_v.append(batch.column("v").to_numpy(zero_copy_only=False))
+    if not parts_u or not sum(len(p) for p in parts_u):
         return ray.data.from_pandas(pd.DataFrame(
             {"node": pd.Series(dtype=np.int64), "cluster": pd.Series(dtype=np.int64)}))
-    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
-    roots = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64, count=len(nodes))
-    uniq_roots = np.unique(roots)
-    df = pd.DataFrame({"node": np.concatenate([nodes, uniq_roots]),
-                       "cluster": np.concatenate([roots, uniq_roots])}) \
-        .drop_duplicates("node")
-    return ray.data.from_pandas(df)
+    u = np.concatenate(parts_u)
+    v = np.concatenate(parts_v)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        # scatter the edge-wise min label to both endpoints
+        mn = np.minimum(label[ui], label[vi])
+        before = label.copy()
+        np.minimum.at(label, ui, mn)
+        np.minimum.at(label, vi, mn)
+        # pointer jumping: collapse label chains to their roots
+        while True:
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label, before):
+            break
+    return ray.data.from_pandas(pd.DataFrame({
+        "node": nodes, "cluster": nodes[label]}))
 
 
 def connected_components(edges: Dataset, num_partitions: int = 32,

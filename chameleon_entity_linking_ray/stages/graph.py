@@ -1,9 +1,17 @@
-"""Graph expansion: k-hop BFS and personalized PageRank over an edge
-Dataset — the engine form of the reference's entity expander
-(/root/reference/utils/entity_expander.py): its pickled adjacency dict +
-scipy CSR PageRank (:24-77, :122-126) become (a) a broadcast adjacency for
-small graphs and (b) iterative edge-join loops (the same skeleton as the
-connected-components rounds) for graphs that exceed one node's RAM.
+"""Graph expansion: k-hop BFS / DFS-order expansion and personalized
+PageRank over an edge Dataset — the engine form of the reference's entity
+expander (/root/reference/utils/entity_expander.py): its pickled adjacency
+dict + scipy CSR PageRank (:24-77, :122-126) become per-round Dataset joins.
+
+DISTRIBUTED BY CONSTRUCTION (round-2 rework): the frontier, visited set,
+degree table and rank vector are all ``ray.data.Dataset``s; each round is a
+(broadcast or shuffled) semi-join / join-aggregate, and the driver holds
+nothing but per-round scalars (counts, the dangling mass, the convergence
+delta). Small frontiers take the broadcast path (``pc.is_in`` against a
+``ray.put`` Arrow array — a vectorized kernel, never a Python loop); above
+``broadcast_threshold`` rows every membership test becomes a bucketed
+shuffle join, so a 100 TB graph never funnels a node table through the
+driver.
 
 Edge tables are ``(src:int64, dst:int64)``; like the reference, expansion
 follows REVERSED edges having been built that way upstream
@@ -15,123 +23,304 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data import Dataset
 
 from chameleon_entity_linking_ray.functions.hashing import mix64
+from chameleon_entity_linking_ray.stages.agg import distinct, grouped_agg
+from chameleon_entity_linking_ray.stages.joins import hash_join, semi_join_ds
 
 
-def _edges_to_csr(edges: Dataset):
-    """Driver-side CSR for graphs that fit (reference parity path)."""
-    df = edges.to_pandas()
-    src = df["src"].to_numpy(np.int64)
-    dst = df["dst"].to_numpy(np.int64)
-    nodes = np.unique(np.concatenate([src, dst]))
-    idx = {int(n): i for i, n in enumerate(nodes)}
-    si = np.fromiter((idx[int(s)] for s in src), np.int64, len(src))
-    di = np.fromiter((idx[int(d)] for d in dst), np.int64, len(dst))
-    return nodes, si, di
+def _normalize_blocks(ds: Dataset, min_rows_per_block: int = 65536) -> Dataset:
+    """Coalesce pathologically tiny blocks (e.g. ``from_items`` emits one
+    block PER ROW) so iterative loops don't pay per-block task overhead
+    times the round count. Large inputs with sane blocks pass through
+    untouched — this never reduces real parallelism."""
+    ds = ds.materialize()
+    n_blocks = ds.num_blocks()
+    rows = ds.count()
+    target = max(1, min(n_blocks, rows // min_rows_per_block + 1))
+    if n_blocks > 4 * target:
+        ds = ds.repartition(target).materialize()
+    return ds
 
 
-def bfs_expand(edges: Dataset, seeds: list[int], k: int = 2) -> Dataset:
+def _nodes_table(nodes: list[int], hop: int | None = None) -> Dataset:
+    arr = pa.array([int(n) for n in dict.fromkeys(nodes)], pa.int64())
+    cols = {"node": arr}
+    if hop is not None:
+        cols["hop"] = pa.array(np.full(len(arr), hop, np.int64), pa.int64())
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def _anti_join_nodes(candidates: Dataset, visited: Dataset,
+                     num_buckets: int) -> Dataset:
+    """candidates(node) minus visited(node, ...) — bucketed shuffle anti-join
+    (left-outer + null filter); both sides stay distributed."""
+    if candidates.count() == 0:  # empty datasets lose schema through joins
+        return _nodes_table([])
+    marked = visited.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "__seen": pa.array(np.ones(b.num_rows, np.int8),
+                                               pa.int8())}),
+        batch_format="pyarrow")
+    j = hash_join(candidates, marked, on=("node",), join_type="left_outer",
+                  num_partitions=num_buckets)
+
+    def unseen(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.filter(
+            pc.is_null(batch.column("__seen"))).column("node")})
+
+    return j.map_batches(unseen, batch_format="pyarrow")
+
+
+def bfs_expand(edges: Dataset, seeds: list[int], k: int = 2,
+               broadcast_threshold: int = 2_000_000,
+               num_buckets: int = 16) -> Dataset:
     """All nodes within k hops of the seed set, with hop distance.
 
-    Iterative frontier expansion, one round per hop: the frontier is
-    broadcast (``ray.put``) and each edge block emits its frontier
-    successors — a per-hop broadcast semi-join, never a driver adjacency
-    scan. Returns (node:int64, hop:int32)."""
-    edges = edges.materialize()
-    visited: dict[int, int] = {int(s): 0 for s in seeds}
-    frontier = set(visited)
+    One round per hop, everything a Dataset op (reference BFS semantics,
+    /root/reference/utils/entity_expander.py:93-103):
+
+      successors   = edges ⋉ frontier on src       (broadcast pc.is_in
+                     below ``broadcast_threshold`` frontier rows, else a
+                     bucketed shuffle semi-join)
+      new frontier = distinct(successors.dst) ▷ visited   (anti-join)
+      visited     += new frontier @ hop
+
+    The driver sees only the per-round frontier COUNT. Returns
+    (node:int64, hop:int64)."""
+    edges = _normalize_blocks(edges)
+    frontier = _nodes_table(seeds).materialize()
+    visited = _nodes_table(seeds, hop=0).materialize()
     for hop in range(1, k + 1):
-        ref = ray.put(frozenset(frontier))
-
-        def step(batch: pa.Table) -> pa.Table:
-            f = ray.get(ref)
-            src = batch.column("src").to_numpy(zero_copy_only=False)
-            dst = batch.column("dst").to_numpy(zero_copy_only=False)
-            mask = np.fromiter((int(s) in f for s in src), bool, len(src))
-            return pa.table({"node": pa.array(dst[mask], pa.int64())})
-
-        nxt = edges.map_batches(step, batch_format="pyarrow")
-        new_nodes = set()
-        for b in nxt.iter_batches(batch_format="pyarrow"):
-            new_nodes.update(int(x) for x in b.column("node").to_pylist())
-        frontier = new_nodes - visited.keys()
-        for n in frontier:
-            visited[n] = hop
-        if not frontier:
+        n_frontier = frontier.count()  # driver scalar only
+        if n_frontier == 0:
             break
-    out = pd.DataFrame({"node": np.fromiter(visited.keys(), np.int64, len(visited)),
-                        "hop": np.fromiter(visited.values(), np.int32, len(visited))})
-    return ray.data.from_pandas(out)
+        if n_frontier <= broadcast_threshold:
+            succ = semi_join_ds(edges, frontier, "src", keys_col="node")
+        else:
+            succ = hash_join(
+                edges, frontier.map_batches(
+                    lambda b: pa.table({"src": b.column("node")}),
+                    batch_format="pyarrow"),
+                on=("src",), join_type="inner", num_partitions=num_buckets)
+        cand = distinct(
+            succ.map_batches(lambda b: pa.table({"node": b.column("dst")}),
+                             batch_format="pyarrow"),
+            ["node"], num_buckets=num_buckets)
+        frontier = _anti_join_nodes(cand, visited, num_buckets).materialize()
+
+        def with_hop(batch: pa.Table, h=hop) -> pa.Table:
+            return pa.table({"node": batch.column("node"),
+                             "hop": pa.array(np.full(batch.num_rows, h,
+                                                     np.int64), pa.int64())})
+
+        visited = visited.union(
+            frontier.map_batches(with_hop, batch_format="pyarrow")).materialize()
+    return visited
+
+
+def _bucket_of_int(arr: np.ndarray, num_buckets: int, seed: int = 61) -> np.ndarray:
+    return (mix64(arr.astype(np.uint64), seed=seed) %
+            np.uint64(num_buckets)).astype(np.int32)
 
 
 def personalized_pagerank(edges: Dataset, seeds: list[int], alpha: float = 0.85,
-                          iters: int = 20, num_buckets: int = 32) -> Dataset:
-    """Distributed power iteration: rank table x edge table per round.
+                          iters: int = 20, num_buckets: int = 16,
+                          tol: float = 1e-12) -> Dataset:
+    """Distributed power iteration — rank lives in a Dataset, never on the
+    driver (reference semantics: pagerank_power with a personalize vector,
+    /root/reference/utils/entity_expander.py:122-126).
 
-    Per round: join ranks to edges on src (bucketed shuffle), aggregate
-    contributions per dst (combiner groupby), blend with the personalized
-    restart vector. Same loop skeleton as the CC rounds (SURVEY.md A6) —
-    only the per-round aggregate differs. Returns (node:int64, rank:float64).
-    """
-    edges = edges.materialize()
+    Per round, exactly THREE bucketed shuffles and one materialize barrier
+    (the joins are lean schema-pinned union+groupby forms, not the general
+    ``hash_join`` — no per-call materialize, no schema probes):
 
-    # out-degree per src (one pass, combiner)
-    deg: dict[int, int] = {}
-    for b in edges.iter_batches(batch_format="pyarrow"):
-        src = b.column("src").to_numpy(zero_copy_only=False)
-        u, c = np.unique(src, return_counts=True)
-        for n, cnt in zip(u, c):
-            deg[int(n)] = deg.get(int(n), 0) + int(cnt)
+      1. edges ∪ shares grouped by hash(src):  share lookup + per-bucket
+         partial Σ per dst   (the combiner)
+      2. partials grouped by hash(dst):        contrib = Σ c
+      3. ranks ∪ contrib grouped by hash(node): rank' = α·(contrib +
+         dangling·restart) + (1-α)·restart
 
-    nodes_set = set(deg)
-    for b in edges.iter_batches(batch_format="pyarrow"):
-        nodes_set.update(int(x) for x in b.column("dst").to_pylist())
-    nodes = np.fromiter(sorted(nodes_set), np.int64, len(nodes_set))
-    seed_arr = np.fromiter(sorted(set(int(s) for s in seeds)), np.int64)
-    restart = np.isin(nodes, seed_arr).astype(np.float64)
-    restart /= max(1.0, restart.sum())
-    rank = restart.copy()
-    deg_arr = np.array([deg.get(int(n), 0) for n in nodes], dtype=np.float64)
+    The driver holds per-round SCALARS only (dangling mass, L1 delta),
+    folded into one per-block partial-sum pass. Returns
+    (node:int64, rank:float64)."""
+    edges = _normalize_blocks(edges)
+    seed_set = sorted({int(s) for s in seeds})
+    n_seeds = max(1, len(seed_set))
+    seed_ref = ray.put(pa.array(seed_set, pa.int64()))
+
+    # --- static tables, built once ---------------------------------------
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": batch.column("src").cast(pa.int64()),
+            "dst": batch.column("dst").cast(pa.int64()),
+            "share": pa.nulls(batch.num_rows, pa.float64()),
+            "b": pa.array(_bucket_of_int(src, num_buckets), pa.int32()),
+        })
+
+    edges_t = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def both_ends(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [batch.column("src").cast(pa.int64()).combine_chunks(),
+             batch.column("dst").cast(pa.int64()).combine_chunks()])})
+
+    nodes = distinct(edges.map_batches(both_ends, batch_format="pyarrow"),
+                     ["node"], num_buckets=num_buckets)
+    degree = grouped_agg(
+        edges.map_batches(
+            lambda b: pa.table({"node": b.column("src").cast(pa.int64())}),
+            batch_format="pyarrow"),
+        keys=["node"], aggs={"deg": (None, "count")}, num_buckets=num_buckets)
+    nd = hash_join(nodes, degree, on=("node",), join_type="left_outer",
+                   num_partitions=num_buckets)
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        seeds_arr = ray.get(seed_ref)
+        node = batch.column("node")
+        is_seed = pc.is_in(node, value_set=seeds_arr)
+        restart = pc.if_else(is_seed, pa.scalar(1.0 / n_seeds), pa.scalar(0.0))
+        deg = pc.cast(pc.fill_null(batch.column("deg"), 0), pa.int64())
+        nb = _bucket_of_int(node.to_numpy(zero_copy_only=False), num_buckets)
+        return pa.table({"node": node, "deg": deg, "restart": restart,
+                         "rank": restart, "prev": restart,
+                         "c": pa.nulls(batch.num_rows, pa.float64()),
+                         "b": pa.array(nb, pa.int32())})
+
+    ranks = nd.map_batches(init_rank, batch_format="pyarrow").materialize()
+    # pin the per-round block count: every groupby's output block count
+    # tracks its input's, and the union feeds both edge and rank blocks in,
+    # so unchecked the rank table's block count grows round over round
+    # (measured superlinear slowdown). One bounded repartition per round
+    # keeps the loop O(rounds).
+    rank_blocks = max(1, min(num_buckets, ranks.count() // 65536 + 1))
+    ranks = ranks.repartition(rank_blocks).materialize()
+
+    def _sums(ds: Dataset) -> tuple[float, float]:
+        """(dangling mass, L1 delta) in ONE pass of per-block partials."""
+        def partial(b: pa.Table) -> pa.Table:
+            deg = b.column("deg").to_numpy(zero_copy_only=False)
+            rank = b.column("rank").to_numpy(zero_copy_only=False)
+            prev = b.column("prev").to_numpy(zero_copy_only=False) \
+                if "prev" in b.column_names else rank
+            return pa.table({
+                "d": pa.array([float(rank[deg == 0].sum())], pa.float64()),
+                "e": pa.array([float(np.abs(rank - prev).sum())], pa.float64()),
+            })
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        return (float(sum(r["d"] for r in parts)),
+                float(sum(r["e"] for r in parts)))
+
+    dangling, _ = _sums(ranks)
+    _EMPTY_PART = {"dst": pd.Series(dtype=np.int64),
+                   "c": pd.Series(dtype=np.float64),
+                   "b2": pd.Series(dtype=np.int32)}
 
     for _ in range(iters):
-        rank_ref = ray.put((nodes, np.divide(rank, deg_arr,
-                                             out=np.zeros_like(rank),
-                                             where=deg_arr > 0)))
+        # 1. share lookup per src bucket + per-bucket partial sums per dst
+        def share_rows(batch: pa.Table) -> pa.Table:
+            deg = batch.column("deg").to_numpy(zero_copy_only=False)
+            rank = batch.column("rank").to_numpy(zero_copy_only=False)
+            share = np.divide(rank, deg, out=np.zeros_like(rank), where=deg > 0)
+            return pa.table({"k": batch.column("node"),
+                             "dst": pa.nulls(batch.num_rows, pa.int64()),
+                             "share": pa.array(share, pa.float64()),
+                             "b": batch.column("b")})
 
-        def contrib(batch: pa.Table) -> pa.Table:
-            ns, shares = ray.get(rank_ref)
-            src = batch.column("src").to_numpy(zero_copy_only=False)
-            dst = batch.column("dst").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ns, src)
-            w = shares[np.clip(pos, 0, len(ns) - 1)]
-            # partial per-dst sums inside the block (combiner)
+        def contrib_partial(g: pd.DataFrame) -> pd.DataFrame:
+            is_share = g["dst"].isna().to_numpy()
+            sh = g.loc[is_share]
+            ed = g.loc[~is_share]
+            if not len(ed) or not len(sh):
+                return pd.DataFrame(_EMPTY_PART)
+            lookup = pd.Series(sh["share"].to_numpy(),
+                               index=sh["k"].to_numpy())
+            w = lookup.reindex(ed["k"].to_numpy()).to_numpy()
+            dst = ed["dst"].to_numpy(np.int64)
             du, inv = np.unique(dst, return_inverse=True)
-            sums = np.bincount(inv, weights=w)
-            return pa.table({"node": pa.array(du, pa.int64()),
-                             "w": pa.array(sums, pa.float64())})
+            sums = np.bincount(inv, weights=np.nan_to_num(w))
+            return pd.DataFrame({
+                "dst": du, "c": sums,
+                "b2": _bucket_of_int(du, num_buckets)})
 
-        parts = edges.map_batches(contrib, batch_format="pyarrow")
-        incoming = np.zeros(len(nodes), np.float64)
-        for b in parts.iter_batches(batch_format="pyarrow"):
-            n = b.column("node").to_numpy(zero_copy_only=False)
-            w = b.column("w").to_numpy(zero_copy_only=False)
-            # np.add.at, NOT fancy +=: a batch spans several blocks and can
-            # repeat a node; fancy-index += keeps only the last duplicate
-            np.add.at(incoming, np.searchsorted(nodes, n), w)
-        # dangling mass redistributed to the restart vector, as
-        # pagerank_power does (reference A6)
-        dangling = rank[deg_arr == 0].sum()
-        new_rank = alpha * (incoming + dangling * restart) + (1 - alpha) * restart
-        if np.abs(new_rank - rank).sum() < 1e-12:
-            rank = new_rank
+        partials = edges_t.union(
+            ranks.map_batches(share_rows, batch_format="pyarrow")) \
+            .groupby("b").map_groups(contrib_partial, batch_format="pandas")
+
+        def contrib_sum(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("dst", sort=False)["c"].sum().reset_index()
+            return out if len(out) else pd.DataFrame(
+                {"dst": pd.Series(dtype=np.int64),
+                 "c": pd.Series(dtype=np.float64)})
+
+        contrib = partials.groupby("b2").map_groups(contrib_sum,
+                                                    batch_format="pandas")
+
+        # 3. step: ranks ∪ contrib per node bucket
+        def contrib_rows(batch: pa.Table) -> pa.Table:
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            n = batch.num_rows
+            return pa.table({"node": batch.column("dst").cast(pa.int64()),
+                             "deg": pa.nulls(n, pa.int64()),
+                             "restart": pa.nulls(n, pa.float64()),
+                             "rank": pa.nulls(n, pa.float64()),
+                             "prev": pa.nulls(n, pa.float64()),
+                             "c": batch.column("c").cast(pa.float64()),
+                             "b": pa.array(_bucket_of_int(dst, num_buckets),
+                                           pa.int32())})
+
+        def step(g: pd.DataFrame, d=dangling) -> pd.DataFrame:
+            is_c = g["deg"].isna().to_numpy()
+            rk = g.loc[~is_c]
+            if not len(rk):
+                return pd.DataFrame({
+                    "node": pd.Series(dtype=np.int64),
+                    "deg": pd.Series(dtype=np.int64),
+                    "restart": pd.Series(dtype=np.float64),
+                    "rank": pd.Series(dtype=np.float64),
+                    "prev": pd.Series(dtype=np.float64),
+                    "b": pd.Series(dtype=np.int32)})
+            cm = g.loc[is_c]
+            lookup = pd.Series(cm["c"].to_numpy(), index=cm["node"].to_numpy())
+            c = np.nan_to_num(lookup.reindex(rk["node"].to_numpy()).to_numpy())
+            restart = rk["restart"].to_numpy(np.float64)
+            old = rk["rank"].to_numpy(np.float64)
+            new = alpha * (c + d * restart) + (1 - alpha) * restart
+            return pd.DataFrame({
+                "node": rk["node"].to_numpy(np.int64),
+                "deg": rk["deg"].to_numpy(np.int64),
+                "restart": restart, "rank": new, "prev": old,
+                "b": rk["b"].to_numpy(np.int32)})
+
+        stepped = ranks.union(
+            contrib.map_batches(contrib_rows, batch_format="pyarrow")) \
+            .groupby("b").map_groups(step, batch_format="pandas")
+
+        def reshape(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch.column("node").cast(pa.int64()),
+                "deg": batch.column("deg").cast(pa.int64()),
+                "restart": batch.column("restart").cast(pa.float64()),
+                "rank": batch.column("rank").cast(pa.float64()),
+                "prev": batch.column("prev").cast(pa.float64()),
+                "c": pa.nulls(batch.num_rows, pa.float64()),
+                "b": batch.column("b").cast(pa.int32())})
+
+        ranks = stepped.map_batches(reshape, batch_format="pyarrow") \
+            .repartition(rank_blocks).materialize()
+        dangling, delta = _sums(ranks)
+        if delta < tol:
             break
-        rank = new_rank
 
-    return ray.data.from_pandas(pd.DataFrame({"node": nodes, "rank": rank}))
+    return ranks.map_batches(
+        lambda b: pa.table({"node": b.column("node"),
+                            "rank": b.column("rank")}),
+        batch_format="pyarrow")
 
 
 def copurchase_edges(sf_dir: str) -> Dataset:

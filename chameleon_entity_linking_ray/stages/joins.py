@@ -163,6 +163,11 @@ def semi_join_ds(ds: Dataset, keys_ds: Dataset, key_col: str,
     no Python-object round trip through the driver) and broadcast once."""
     keys_col = keys_col or key_col
     blocks = [ray.get(r) for r in keys_ds.select_columns([keys_col]).to_arrow_refs()]
+    # pandas-format blocks come back as DataFrames — normalize to Arrow;
+    # groupby outputs can include schema-less EMPTY blocks — drop them
+    blocks = [pa.Table.from_pandas(b, preserve_index=False)
+              if not isinstance(b, pa.Table) else b for b in blocks]
+    blocks = [b for b in blocks if keys_col in b.column_names]
     if blocks:
         keys = pa.concat_tables(blocks).column(keys_col).combine_chunks()
         keys = keys.unique() if isinstance(keys, pa.Array) else \

@@ -46,7 +46,7 @@ class TestPpr:
             if a != b:
                 edges.add((int(a), int(b)))
         ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
-        got = personalized_pagerank(ds, [0], alpha=0.85, iters=40).to_pandas()
+        got = personalized_pagerank(ds, [0], alpha=0.85, iters=15).to_pandas()
         got = got.set_index("node")["rank"]
 
         # dense oracle: identical formulation
@@ -59,12 +59,49 @@ class TestPpr:
         restart = np.zeros(len(nodes))
         restart[idx[0]] = 1.0
         r = restart.copy()
-        for _ in range(40):
+        for _ in range(15):
             share = np.divide(r, deg, out=np.zeros_like(r), where=deg > 0)
             dangling = r[deg == 0].sum()
             r = 0.85 * (A @ share + dangling * restart) + 0.15 * restart
         for x in nodes:
             assert got[x] == pytest.approx(r[idx[x]], abs=1e-9)
+
+
+class TestNoDriverMaterialization:
+    """The distributed BFS/PPR must never pull a node/rank table to the
+    driver: with every bulk driver-materialization API patched to raise,
+    both ops must still complete (per-block SCALAR partials via take_all
+    are the one allowed driver touch)."""
+
+    def _patched(self, monkeypatch, with_take_all: bool):
+        import ray.data as rdm
+
+        def boom(*a, **k):
+            raise AssertionError("driver-side materialization in graph op")
+
+        # (iter_batches stays: Dataset.count() uses it internally)
+        monkeypatch.setattr(rdm.Dataset, "to_pandas", boom)
+        monkeypatch.setattr(rdm.Dataset, "to_numpy_refs", boom)
+        if with_take_all:
+            monkeypatch.setattr(rdm.Dataset, "take_all", boom)
+
+    def test_bfs_shuffle_path(self, chain_edges, monkeypatch):
+        with monkeypatch.context() as m:
+            self._patched(m, with_take_all=True)
+            # broadcast_threshold=0 forces the shuffle semi-join path too
+            out = bfs_expand(chain_edges, [0], k=2, broadcast_threshold=0)
+        got = out.to_pandas().set_index("node")["hop"].to_dict()
+        assert got == {0: 0, 1: 1, 2: 2}
+
+    def test_ppr_distributed(self, chain_edges, monkeypatch):
+        with monkeypatch.context() as m:
+            # PPR's one allowed driver touch is take_all over per-block
+            # SCALAR partials (dangling/delta sums)
+            self._patched(m, with_take_all=False)
+            ranks = personalized_pagerank(chain_edges, [0], iters=5).materialize()
+        df = ranks.to_pandas()
+        assert set(df["node"]) == {0, 1, 2, 3, 4, 5, 6}
+        assert df["rank"].sum() == pytest.approx(1.0, abs=1e-6)
 
 
 class TestRunfile:
