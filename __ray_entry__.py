@@ -28,8 +28,9 @@ _MENTION_RE_SQL = r"\b[A-Z][\w&.\-]*(?:\s+(?:[A-Z][\w&.\-]*|\d+))*"
 
 # stages/extract.py:_rho — min(0.99, 0.15 + 0.10*ntok + 0.01*len) > 0.26,
 # same operation order so the IEEE doubles agree bit-for-bit
-_RHO_FILTER_SQL = ("LEAST(0.99, 0.15 + 0.10*(length(m) - "
-                   "length(replace(m, ' ', '')) + 1) + 0.01*length(m)) > 0.26")
+_RHO_EXPR = ("LEAST(0.99, 0.15 + 0.10*(length({c}) - "
+             "length(replace({c}, ' ', '')) + 1) + 0.01*length({c}))")
+_RHO_FILTER_SQL = _RHO_EXPR.format(c="m") + " > 0.26"
 
 # pipelines/corpus.py:_title_sentence
 _TITLE_TEXT_SQL = (
@@ -75,6 +76,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from chameleon_entity_linking_ray.pipelines import analytics as A
     from chameleon_entity_linking_ray.pipelines import corpus as C
+    from chameleon_entity_linking_ray.pipelines import reference_io as R
 
     return {
         # --- relational operator coverage (SURVEY.md §2.4-2.7) ---
@@ -99,9 +101,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": C.simhash_docs,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "embedding_near_dups": C.embedding_near_dups,
+        "embedding_near_dups_lsh": C.embedding_near_dups_lsh,
         # --- similarity search ---
         "ann_topk": C.ann_topk,
         "ann_lsh_topk": C.ann_lsh_topk,
+        # --- reference ingest surface (S1-S5 roundtrips through real
+        #     files under /tmp, re-read by sources/ingest.py readers) ---
+        "tsv_mentions": R.tsv_mentions,
+        "entity_tsv_stats": R.entity_tsv_stats,
+        "trec_merge": R.trec_merge,
+        "hard_negative_pairs": R.hard_negative_pairs,
+        "teacher_scores": R.teacher_scores,
+        # --- IR metric aggregate (A5) ---
+        "ir_metrics": R.ir_metrics,
         # --- graph expansion (reference entity_expander parity) ---
         "bfs_copurchase": _q_bfs,
         "ppr_copurchase": _q_ppr,
@@ -257,8 +269,184 @@ def oracle_sql() -> dict[str, str]:
                 WHERE r.hop < 2
             )
             SELECT node, MIN(hop) AS hop FROM r GROUP BY node""",
-        # minhash_dup_pairs / simhash_docs / ngram_jaccard_pairs /
-        # embedding_near_dups / ann_lsh_topk / doc_fingerprint /
-        # linkage_parts: sketch-based or iterative semantics, not
-        # SQL-expressible -> rows-only checks.
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents""",
+        "simhash_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split_regex(trim(text),
+                                                               '\s+'))) AS t
+                FROM documents WHERE length(trim(text)) > 0
+            ), bits AS (
+                SELECT doc_id, j,
+                       SUM(CASE WHEN ((('0x' || substr(md5(t), 1, 16))::UBIGINT
+                                       >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                FROM toks CROSS JOIN generate_series(0, 63) g(j)
+                GROUP BY doc_id, j
+            ), hashes AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN s > 0 THEN (1::UBIGINT << j)
+                                     ELSE 0::UBIGINT END) AS UBIGINT) AS h
+                FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   lower(lpad(to_hex(coalesce(h.h, 0::UBIGINT)), 16, '0'))
+                       AS simhash,
+                   CAST(coalesce(h.h, 0::UBIGINT) >> 48 AS BIGINT)
+                       AS simhash_prefix
+            FROM documents d LEFT JOIN hashes h USING (doc_id)""",
+        "ngram_jaccard_pairs": """
+            WITH sets AS (
+                SELECT doc_id, list_distinct([substring(text, i, 8)
+                    FOR i IN generate_series(1, length(text)-7)]) AS sh
+                FROM documents
+            ), sh AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+            df AS (SELECT g, count(*) AS c FROM sh GROUP BY g),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS left_doc, b.doc_id AS right_doc
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                WHERE a.g IN (SELECT g FROM df WHERE c <= 10)
+            ), j AS (
+                SELECT c.left_doc, c.right_doc,
+                       ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                             GREATEST(len(sa.sh) + len(sb.sh)
+                                      - len(list_intersect(sa.sh, sb.sh)), 1),
+                             6) AS jaccard
+                FROM cand c JOIN sets sa ON sa.doc_id = c.left_doc
+                            JOIN sets sb ON sb.doc_id = c.right_doc
+            )
+            SELECT left_doc, right_doc, jaccard FROM j WHERE jaccard >= 0.5""",
+        "embedding_near_dups": """
+            SELECT * FROM (
+                SELECT a.vec_id AS left_vec, b.vec_id AS right_vec,
+                       ROUND(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cosine >= 0.35""",
+        "tsv_mentions": f"""
+            WITH t AS (SELECT p_partkey, {title} AS text FROM part)
+            SELECT p_partkey,
+                   CAST(len(list_filter(regexp_extract_all(text, '{_MENTION_RE_SQL}'),
+                                        m -> {_RHO_FILTER_SQL})) AS BIGINT) AS n_mentions
+            FROM t""",
+        "entity_tsv_stats": f"""
+            WITH t AS (SELECT p_partkey, {title} AS text FROM part),
+            m AS (SELECT p_partkey,
+                         unnest(list_filter(regexp_extract_all(text,
+                             '{_MENTION_RE_SQL}'), m -> {_RHO_FILTER_SQL})) AS s
+                  FROM t),
+            agg AS (SELECT p_partkey, count(*) AS c,
+                           max({_RHO_EXPR.format(c="s")}) AS mx
+                    FROM m GROUP BY p_partkey)
+            SELECT t.p_partkey,
+                   CAST(COALESCE(agg.c, 0) AS BIGINT) AS n_entities,
+                   ROUND(COALESCE(agg.mx, 0.0), 6) AS max_rho
+            FROM t LEFT JOIN agg USING (p_partkey)""",
+        "trec_merge": """
+            WITH rf AS (
+                SELECT o_custkey q, o_orderkey p,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) rnk
+                FROM orders WHERE o_orderstatus = 'F'),
+            ra AS (
+                SELECT o_custkey q, o_orderkey p,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) rnk
+                FROM orders),
+            runs AS (
+                SELECT q, p, 0 AS src FROM rf WHERE rnk <= 3
+                UNION ALL
+                SELECT q, p, 1 AS src FROM ra WHERE rnk <= 3)
+            SELECT CAST(q AS BIGINT) AS qid, CAST(p AS BIGINT) AS pid,
+                   CAST(MIN(src) AS BIGINT) AS src
+            FROM runs GROUP BY q, p""",
+        "hard_negative_pairs": """
+            WITH ranked AS (
+                SELECT o_custkey q, o_orderkey p,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) rnk
+                FROM orders),
+            pos AS (SELECT q, p FROM ranked WHERE rnk = 1),
+            price_sel AS (SELECT q, p FROM ranked WHERE rnk BETWEEN 2 AND 5),
+            key6 AS (
+                SELECT q, p FROM (
+                    SELECT q, p, ROW_NUMBER() OVER (PARTITION BY q
+                        ORDER BY p) krn
+                    FROM ranked WHERE rnk > 1)
+                WHERE krn <= 6),
+            key_filtered AS (
+                SELECT k.q, k.p FROM key6 k
+                LEFT JOIN price_sel ps ON ps.q = k.q AND ps.p = k.p
+                WHERE ps.q IS NULL),
+            key_sel AS (
+                SELECT q, p FROM (
+                    SELECT q, p, ROW_NUMBER() OVER (PARTITION BY q
+                        ORDER BY p) rn2
+                    FROM key_filtered)
+                WHERE rn2 <= 4),
+            negs AS (SELECT q, p FROM price_sel
+                     UNION ALL SELECT q, p FROM key_sel)
+            SELECT CAST(q AS BIGINT) AS qid, CAST(p AS BIGINT) AS pid,
+                   1.0 AS label
+            FROM pos WHERE q IN (SELECT q FROM negs)
+            UNION ALL
+            SELECT CAST(q AS BIGINT), CAST(p AS BIGINT), 0.0 FROM negs""",
+        "teacher_scores": """
+            WITH ranked AS (
+                SELECT o_custkey q, o_orderkey p, o_orderstatus st,
+                       o_totalprice t,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) rnk
+                FROM orders)
+            SELECT CAST(q AS BIGINT) AS qid, CAST(p AS BIGINT) AS pid,
+                   CASE WHEN st = 'F' THEN ROUND(t * 0.001, 6)
+                        ELSE -1.0 END AS ce_score
+            FROM ranked WHERE rnk <= 3""",
+        "ir_metrics": """
+            WITH run AS (
+                SELECT o_custkey q, o_orderkey p, o_totalprice s,
+                       CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END rel
+                FROM orders),
+            ranked AS (
+                SELECT q, p, rel,
+                       ROW_NUMBER() OVER w AS rnk,
+                       SUM(rel) OVER (PARTITION BY q ORDER BY s DESC, p
+                           ROWS UNBOUNDED PRECEDING) AS cumrel,
+                       SUM(rel) OVER (PARTITION BY q) AS nrel
+                FROM run WINDOW w AS (PARTITION BY q ORDER BY s DESC, p)),
+            perq0 AS (
+                SELECT q,
+                       SUM(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) AS relk,
+                       MAX(nrel) AS nrel,
+                       MAX(CASE WHEN rel > 0 AND rnk <= 10
+                                THEN 1.0 / rnk ELSE 0 END) AS rr,
+                       SUM(CASE WHEN rel > 0 AND rnk <= 10
+                                THEN cumrel / rnk ELSE 0 END) AS ap_num,
+                       SUM(CASE WHEN rnk <= 10
+                                THEN rel / log2(rnk + 1) ELSE 0 END) AS dcg
+                FROM ranked GROUP BY q),
+            ideal AS (
+                SELECT n, SUM(1.0 / log2(i + 1)) AS idcg
+                FROM generate_series(1, 10) nn(n)
+                JOIN generate_series(1, 10) ii(i) ON i <= n
+                GROUP BY n),
+            perq AS (
+                SELECT q,
+                       ROUND(COALESCE(dcg / NULLIF(ideal.idcg, 0), 0), 6)
+                           AS ndcg,
+                       ROUND(relk / 10.0, 6) AS p_at_k,
+                       ROUND(ap_num / GREATEST(nrel, 1), 6) AS ap,
+                       ROUND(rr, 6) AS rr,
+                       ROUND(relk / GREATEST(nrel, 1), 6) AS r_at_k
+                FROM perq0
+                LEFT JOIN ideal ON ideal.n = LEAST(CAST(nrel AS BIGINT), 10))
+            SELECT ROUND(AVG(ndcg), 6) AS ndcg, ROUND(AVG(p_at_k), 6) AS p_at_k,
+                   ROUND(AVG(ap), 6) AS ap, ROUND(AVG(rr), 6) AS rr,
+                   ROUND(AVG(r_at_k), 6) AS r_at_k,
+                   CAST(COUNT(*) AS BIGINT) AS n_queries
+            FROM perq""",
+        # minhash_dup_pairs / embedding_near_dups_lsh / ann_lsh_topk /
+        # ppr_copurchase / media_decode / linkage_parts: sketch-based,
+        # iterative, or binary-decode semantics — rows-only checks.
     }

@@ -33,7 +33,7 @@ from chameleon_entity_linking_ray.functions.text import (
     token_counts,
 )
 from chameleon_entity_linking_ray.pipelines.analytics import read_table
-from chameleon_entity_linking_ray.stages.agg import grouped_top_k
+from chameleon_entity_linking_ray.stages.agg import grouped_agg, grouped_top_k
 
 
 # ---------------------------------------------------------------- text analysis

@@ -155,7 +155,13 @@ def read_jsonl_gz(paths: str | list[str]) -> Dataset:
     def parse_files(batch: pa.Table) -> pa.Table:
         qids, kinds, systems, pids, ranks = [], [], [], [], []
         for payload in batch.column("bytes").to_pylist():
-            with gzip.open(io.BytesIO(payload), "rt") as f:
+            # some readers auto-decompress by extension — dispatch on the
+            # gzip magic so both raw and pre-inflated payloads parse
+            if payload[:2] == b"\x1f\x8b":
+                stream = gzip.open(io.BytesIO(payload), "rt")
+            else:
+                stream = io.TextIOWrapper(io.BytesIO(payload))
+            with stream as f:
                 for line in f:
                     if not line.strip():
                         continue

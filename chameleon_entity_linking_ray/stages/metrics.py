@@ -39,6 +39,10 @@ def _per_query_metrics(g: pd.DataFrame, k: int) -> pd.DataFrame:
                       ascending=[True, False, True], kind="mergesort")
     qid = g["qid"].to_numpy()
     rel = g["rel"].to_numpy(np.float64)
+    # qrels-only docs (not retrieved by the run) sort last (-inf score);
+    # they count in recall/AP denominators but can never be hits
+    retrieved = g["retrieved"].to_numpy(bool) if "retrieved" in g.columns \
+        else np.ones(len(g), bool)
     # per-qid run boundaries + within-run rank
     new_q = np.r_[True, qid[1:] != qid[:-1]]
     run_id = np.cumsum(new_q) - 1
@@ -46,7 +50,7 @@ def _per_query_metrics(g: pd.DataFrame, k: int) -> pd.DataFrame:
     rank = np.arange(len(g), dtype=np.int64) - starts[run_id] + 1
 
     n_rel_total = np.bincount(run_id, weights=rel)
-    in_k = rank <= k
+    in_k = (rank <= k) & retrieved
     n_rel_k = np.bincount(run_id, weights=rel * in_k)
 
     qk = np.maximum(1.0, n_rel_total)
@@ -91,6 +95,7 @@ def per_query_ir_metrics(run: Dataset, qrels: Dataset, k: int = 10,
     def clean(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         rel = pc.fill_null(batch.column("rel"), 0)
+        retrieved = pc.is_valid(batch.column("score"))
         # rows only in qrels (no run score) rank last: -inf score
         score = pc.fill_null(batch.column("score"), float("-inf"))
         qid = batch.column("qid")
@@ -98,6 +103,7 @@ def per_query_ir_metrics(run: Dataset, qrels: Dataset, k: int = 10,
                    seed=59) % np.uint64(num_buckets)).astype(np.int32)
         return pa.table({"qid": qid, "pid": batch.column("pid"),
                          "score": score, "rel": pc.cast(rel, pa.float64()),
+                         "retrieved": retrieved,
                          "__mbucket": pa.array(b, pa.int32())})
 
     return j.map_batches(clean, batch_format="pyarrow") \
@@ -114,6 +120,17 @@ def ir_metrics_aggregate(run: Dataset, qrels: Dataset, k: int = 10,
 
     per_q = per_query_ir_metrics(run, qrels, k, num_buckets)
     cols = ["ndcg", "p_at_k", "ap", "rr", "r_at_k"]
+
+    # round PER-QUERY metrics first: both engines then average identical
+    # 1e-6-granular values, so cross-engine float drift cannot reach the
+    # rounded global mean
+    def round_cols(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in cols:
+            df[c] = np.round(df[c].astype(np.float64), round_to)
+        return df
+
+    per_q = per_q.map_batches(round_cols, batch_format="pandas")
     sums = grouped_agg(
         per_q.map_batches(
             lambda b: b.append_column("__one", pa.array([0] * b.num_rows,
