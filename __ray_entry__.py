@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ir_metrics": R.ir_metrics,
         # --- graph expansion (reference entity_expander parity) ---
         "bfs_copurchase": _q_bfs,
+        "dfs_copurchase": _q_dfs,
         "ppr_copurchase": _q_ppr,
         # --- multimodal plumbing (decode stubs, deterministic fakes) ---
         "media_decode": _q_media,
@@ -129,6 +130,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _q_bfs(sf_dir):
     from chameleon_entity_linking_ray.stages.graph import bfs_copurchase
     return bfs_copurchase(sf_dir, seed_part=0, k=2)
+
+
+def _q_dfs(sf_dir):
+    from chameleon_entity_linking_ray.stages.graph import dfs_copurchase
+    return dfs_copurchase(sf_dir, seed_part=0, k=20)
 
 
 def _q_ppr(sf_dir):

@@ -26,14 +26,16 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # (the sf dirs carry no transcript table; see TESTDATA.md / FIXTURES.md).
 # Sized so real pipeline compute dominates scheduling latency — the point
 # of the scaling run is the asymptote a 10^12-turn corpus lives in.
-BENCH_CONVS = 2_000_000        # ~20M turns
+# (4M convs since round 2: the round-1 size left fixed per-run costs at
+# ~5% of the 16-cpu wall, which capped measurable efficiency.)
+BENCH_CONVS = 4_000_000        # ~40M turns
 BENCH_ENTITIES = 8000
 BENCH_SEED = 42
 
 QUERY_NAMES = [
     "q1_pricing", "segment_revenue", "events_daily", "topk_per_customer",
-    "merge_runs", "doc_langid", "minhash_dup_pairs", "ann_topk",
-    "linkage_parts",
+    "merge_runs", "doc_langid", "minhash_dup_pairs", "ngram_jaccard_pairs",
+    "ann_topk", "ir_metrics", "linkage_parts",
 ]
 
 
@@ -92,7 +94,7 @@ def run_linkage_bench(num_cpus: int) -> dict:
     _warm_workers(num_cpus)
     t0 = time.time()
     clustered, _ = run_linkage_on_parquet(
-        path, LinkageConfig(scorer_concurrency=max(2, num_cpus // 2)),
+        path, LinkageConfig(scorer_concurrency=max(2, num_cpus - 2)),
         num_blocks=128)
     n_mentions = clustered.count()
     sec = time.time() - t0
@@ -144,26 +146,44 @@ def main() -> None:
         # number of times, interleaved (4,16, 4,16, ...), the MEDIAN of each
         # level is compared, and the per-level spread is reported alongside
         # the ratio — no per-level best-of selection, no ordering bias.
-        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+        # one UNTIMED warmup pair first (both levels, same order) — the
+        # very first child after fixture generation pays page-cache and
+        # worker-spawn costs that are not the engine's; discarding one
+        # pair for BOTH levels keeps the protocol symmetric.
+        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "5"))
         samples: dict[int, list] = {4: [], 16: []}
-        for _ in range(repeats):
-            for cpus in (4, 16):
+        for rnd in range(repeats + 1):
+            # alternate within-pair order so neither level systematically
+            # runs on the fresher machine
+            for cpus in ((4, 16) if rnd % 2 == 0 else (16, 4)):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--linkage-only"],
                     env=env, capture_output=True, text=True, timeout=1800)
                 line = [l for l in proc.stdout.splitlines()
                         if l.startswith("{")][-1]
-                samples[cpus].append(json.loads(line))
+                if rnd > 0:  # round 0 is the discarded warmup pair
+                    samples[cpus].append(json.loads(line))
                 time.sleep(20)  # let raylet teardown + spill cleanup settle
 
-        def median_thr(cpus: int) -> float:
-            thr = sorted(r["turns_per_sec"] for r in samples[cpus])
-            m = len(thr) // 2
-            return thr[m] if len(thr) % 2 else (thr[m - 1] + thr[m]) / 2
+        def median(vals: list[float]) -> float:
+            vals = sorted(vals)
+            m = len(vals) // 2
+            return vals[m] if len(vals) % 2 else (vals[m - 1] + vals[m]) / 2
 
-        thr_n, thr_4n = median_thr(4), median_thr(16)
-        eff = (thr_4n / thr_n) / 4
+        # efficiency per ADJACENT pair: this host drifts 20-30% over the
+        # ~40 min the protocol takes (measured: the 4-cpu level alone
+        # degraded 174k->131k turns/s across a session); each interleaved
+        # pair runs back-to-back under near-identical machine conditions,
+        # so the per-pair ratio isolates the ENGINE's scaling from the
+        # host drift, and the median over pairs is reported. Both levels
+        # get identical treatment (same count, same order, no selection).
+        pair_effs = [
+            (samples[16][i]["turns_per_sec"] / samples[4][i]["turns_per_sec"]) / 4
+            for i in range(len(samples[4]))]
+        eff = median(pair_effs)
+        thr_n = median([r["turns_per_sec"] for r in samples[4]])
+        thr_4n = median([r["turns_per_sec"] for r in samples[16]])
         spread = {str(c): {"min": min(r["turns_per_sec"] for r in samples[c]),
                            "max": max(r["turns_per_sec"] for r in samples[c]),
                            "all": [r["turns_per_sec"] for r in samples[c]]}
@@ -171,8 +191,11 @@ def main() -> None:
         print(json.dumps({
             "metric": "linkage_scaling_efficiency", "value": round(eff, 3),
             "unit": "ratio", "sf": SF_DIR, "num_cpus": [4, 16],
-            "protocol": f"interleaved x{repeats}, median per level",
-            "turns_per_sec": {"cpus4": thr_n, "cpus16": thr_4n},
+            "protocol": (f"1 discarded warmup pair + interleaved x{repeats}; "
+                         "efficiency = median over per-pair ratios "
+                         "(adjacent runs share machine conditions)"),
+            "pair_efficiencies": [round(e, 3) for e in pair_effs],
+            "turns_per_sec": {"cpus4_median": thr_n, "cpus16_median": thr_4n},
             "spread": spread}))
         return
 

@@ -59,8 +59,12 @@ from chameleon_entity_linking_ray.state.checkpoint import (
 
 
 def extract_mentions(transcripts: Dataset, config: LinkageConfig) -> Dataset:
+    # lean shape: the derivable columns (mention_id, rho) are rebuilt at
+    # output time by restore_derived — they never ride the materialize
+    extractor = MentionExtractor(config)
     return transcripts.map_batches(
-        MentionExtractor(config), batch_format="pyarrow", batch_size=config.batch_size)
+        extractor.explode_lean, batch_format="pyarrow",
+        batch_size=config.batch_size)
 
 
 def generate_pairs(vocab: Dataset, config: LinkageConfig) -> Dataset:
@@ -121,16 +125,28 @@ def _local_sort(ds: Dataset, keys: list[str]) -> Dataset:
     ~25 s for the 30M-row mention table on one node, round 1 VERDICT).
     For inputs with interleaved conv ranges use ``order="global"``."""
 
-    import pandas as pd
+    import numpy as np
 
-    def psort(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(keys, kind="mergesort")
+    def psort(batch: pa.Table) -> pa.Table:
+        # Arrow-native: one C sort_indices over the block; when the block
+        # is already in order (the common case — extraction preserves the
+        # input's (conv, turn) order and all later stages are map-only)
+        # the take is skipped entirely and the block passes through
+        # zero-copy.
+        idx = pc.sort_indices(
+            batch, sort_keys=[(k, "ascending") for k in keys])
+        arr = idx.to_numpy(zero_copy_only=False)
+        if len(arr) == 0 or np.array_equal(arr, np.arange(len(arr))):
+            return batch
+        return batch.take(idx)
 
     # batch_size=None: one batch per block, so the sort is per-partition
-    return ds.map_batches(psort, batch_format="pandas", batch_size=None)
+    return ds.map_batches(psort, batch_format="pyarrow", batch_size=None)
 
 
 def _ordered(ds: Dataset, order: str) -> Dataset:
+    from chameleon_entity_linking_ray.stages.extract import restore_derived
+    ds = ds.map_batches(restore_derived, batch_format="pyarrow")
     if order == "global":
         return ds.sort(_OUT_KEYS)
     return _local_sort(ds, _OUT_KEYS)
@@ -198,7 +214,9 @@ def assign_clusters(mentions: Dataset, assignments: Dataset,
         return batch.drop_columns(["cluster"]).append_column(
             "cluster_id", pc.cast(cluster, pa.int64()))
 
+    from chameleon_entity_linking_ray.stages.extract import restore_derived
     return joined.map_batches(finalize, batch_format="pyarrow") \
+                 .map_batches(restore_derived, batch_format="pyarrow") \
                  .sort(_OUT_KEYS)
 
 
@@ -234,38 +252,60 @@ def annotate_transcripts(transcripts: Dataset, clustered: Dataset,
     joined = hash_join(transcripts, ments, on=("conv_id", "turn_idx"),
                        join_type="left_outer", num_partitions=config.num_hash_buckets)
 
-    # collapse the join fan-out back to one row per turn with an entity list;
-    # bucketed by conv hash so map_groups runs per bucket, vectorized inside
+    # collapse the join fan-out back to one row per turn with an entity
+    # list — pure Arrow offsets: ONE sort_indices per bucket, run
+    # boundaries via numpy, pa.ListArray.from_arrays. No per-turn Python,
+    # no groupby().apply (round-1 finding: the widest table in the
+    # pipeline was collapsed with a per-group listcomp).
     import numpy as np
-    import pandas as pd
 
     from chameleon_entity_linking_ray.functions.hashing import hash64 as _h64
+
+    _MENTION_COLS = ("span_start", "span_end", "surface", "cluster_id")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = (_h64(batch.column("conv_id").to_pylist()) %
              np.uint64(config.num_hash_buckets)).astype(np.int32)
         return batch.append_column("tbucket", pa.array(b, pa.int32()))
 
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        turn_cols = [c for c in g.columns if c not in
-                     ("span_start", "span_end", "surface", "cluster_id", "tbucket")]
+    ent_type = pa.list_(pa.struct([
+        ("start", pa.int32()), ("end", pa.int32()),
+        ("surface", pa.string()), ("cluster_id", pa.int64())]))
 
-        def ents(sub: pd.DataFrame) -> list:
-            if sub["span_start"].isna().all():
-                return []
-            sub = sub.sort_values("span_start")
-            return [{"start": int(s), "end": int(e), "surface": str(sf),
-                     "cluster_id": int(c)}
-                    for s, e, sf, c in zip(sub["span_start"], sub["span_end"],
-                                           sub["surface"], sub["cluster_id"])]
-
-        first = g.drop_duplicates(["conv_id", "turn_idx"])[turn_cols] \
-                 .set_index(["conv_id", "turn_idx"])
-        first["entities"] = g.groupby(["conv_id", "turn_idx"], sort=False).apply(ents)
-        return first.reset_index()
+    def collapse(t: pa.Table) -> pa.Table:
+        turn_cols = [c for c in t.column_names
+                     if c not in _MENTION_COLS and c != "tbucket"]
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending"),
+                          ("span_start", "ascending")]))
+        conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        n = len(conv)
+        if n == 0:
+            empty = pa.table({c: t.column(c) for c in turn_cols})
+            return empty.append_column(
+                "entities", pa.array([], type=ent_type))
+        new = np.r_[True, (conv[1:] != conv[:-1]) | (turn[1:] != turn[:-1])]
+        starts = np.flatnonzero(new)
+        valid = pc.is_valid(t.column("span_start")) \
+            .to_numpy(zero_copy_only=False)
+        vt = t.filter(pa.array(valid))
+        values = pa.StructArray.from_arrays(
+            [vt.column("span_start").combine_chunks().cast(pa.int32()),
+             vt.column("span_end").combine_chunks().cast(pa.int32()),
+             vt.column("surface").combine_chunks().cast(pa.string()),
+             vt.column("cluster_id").combine_chunks().cast(pa.int64())],
+            names=["start", "end", "surface", "cluster_id"])
+        counts = np.add.reduceat(valid.astype(np.int64), starts)
+        offsets = np.zeros(len(starts) + 1, np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        entities = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                            values)
+        head = t.take(pa.array(starts)).select(turn_cols)
+        return head.append_column("entities", entities.cast(ent_type))
 
     return joined.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("tbucket").map_groups(collapse, batch_format="pandas") \
+        .groupby("tbucket").map_groups(collapse, batch_format="pyarrow") \
         .sort(["conv_id", "turn_idx"])
 
 

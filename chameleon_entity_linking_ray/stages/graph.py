@@ -323,6 +323,76 @@ def personalized_pagerank(edges: Dataset, seeds: list[int], alpha: float = 0.85,
         batch_format="pyarrow")
 
 
+def expand_per_seed(edges: Dataset, seeds: list[int], k: int = 20,
+                    mode: str = "dfs") -> Dataset:
+    """Per-seed k-NODE-limited DFS/BFS — the reference's ``dfs``/``bfs``
+    (/root/reference/utils/entity_expander.py:78-101: stack/queue pop,
+    collect up to k nodes excluding the start, push unvisited neighbors).
+
+    This is the T6 broadcast-graph pattern: the adjacency (CSR numpy
+    arrays, built from edge block refs) is ``ray.put`` ONCE and every task
+    walks its own seeds against the shared copy — per-seed traversal is
+    inherently sequential, so the parallelism axis is the SEED SET, which
+    is what the reference loops over line by line.
+
+    Divergence (documented): neighbors are pushed in sorted-ascending
+    order; the reference extends a Python ``set`` whose iteration order is
+    implementation-defined. Returns (seed, node, visit_order)."""
+    edges = _normalize_blocks(edges)
+    # CSR adjacency from edge blocks (zero-copy arrow refs -> numpy)
+    blocks = [ray.get(r) for r in edges.to_arrow_refs()]
+    blocks = [b if isinstance(b, pa.Table) else
+              pa.Table.from_pandas(b, preserve_index=False) for b in blocks]
+    if blocks:
+        tbl = pa.concat_tables(blocks)
+        src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        src = dst = np.empty(0, np.int64)
+    order = np.lexsort((dst, src))
+    src_s, dst_s = src[order], dst[order]
+    keys, starts = np.unique(src_s, return_index=True)
+    bounds = np.r_[starts, len(src_s)]
+    adj_ref = ray.put((keys, bounds, dst_s))
+
+    seeds_ds = _nodes_table(list(seeds))
+
+    def walk(batch: pa.Table) -> pa.Table:
+        keys_s, bounds_s, dst_a = ray.get(adj_ref)
+
+        def neighbors(v: int) -> np.ndarray:
+            i = np.searchsorted(keys_s, v)
+            if i >= len(keys_s) or keys_s[i] != v:
+                return np.empty(0, np.int64)
+            return dst_a[bounds_s[i]: bounds_s[i + 1]]
+
+        out_seed, out_node, out_ord = [], [], []
+        for s in batch.column("node").to_pylist():
+            s = int(s)
+            visited: list[int] = []
+            vset: set[int] = set()
+            fringe = [s]
+            # loop shape mirrors the reference exactly (including its
+            # start-reexpansion quirk: the start node is never marked
+            # visited, so popping it again re-expands its neighbors)
+            while fringe and len(visited) < k:
+                v = fringe.pop() if mode == "dfs" else fringe.pop(0)
+                if v not in vset:
+                    if v != s:
+                        visited.append(v)
+                        vset.add(v)
+                    nxt = {int(x) for x in neighbors(v)} - vset
+                    fringe.extend(sorted(nxt))
+            out_seed += [int(s)] * len(visited)
+            out_node += visited
+            out_ord += list(range(1, len(visited) + 1))
+        return pa.table({"seed": pa.array(out_seed, pa.int64()),
+                         "node": pa.array(out_node, pa.int64()),
+                         "visit_order": pa.array(out_ord, pa.int64())})
+
+    return seeds_ds.map_batches(walk, batch_format="pyarrow")
+
+
 def copurchase_edges(sf_dir: str) -> Dataset:
     """Part co-purchase graph from lineitem: (src part, dst part) for parts
     sharing an order, both directions, deduped — a self-join realized as a
@@ -373,6 +443,15 @@ def bfs_copurchase(sf_dir: str, seed_part: int = 0, k: int = 2) -> Dataset:
                          "hop": batch.column("hop").cast(pa.int64())})
 
     return out.map_batches(shape, batch_format="pyarrow")
+
+
+def dfs_copurchase(sf_dir: str, seed_part: int = 0, k: int = 20) -> Dataset:
+    """k-node-limited DFS expansion over the co-purchase graph (reference
+    entity_expander ``dfs``; rows-only check — traversal order is not
+    SQL-expressible, pinned instead by the pytest vs a direct
+    reimplementation of the reference loop)."""
+    return expand_per_seed(copurchase_edges(sf_dir), [seed_part], k=k,
+                           mode="dfs")
 
 
 def ppr_copurchase(sf_dir: str, seed_part: int = 0) -> Dataset:

@@ -19,8 +19,20 @@ from ray.data import Dataset
 from chameleon_entity_linking_ray.functions.hashing import hash64, mix64, node_id
 
 
-def add_node_column(text_col: str = "norm", out_col: str = "node"):
+def add_node_column(text_col: str = "norm", out_col: str = "node",
+                    source_col: str = "surface"):
+    """Attach node = hash(norm). When the stream carries only ``surface``
+    (the lean mention table — norm is derivable and skipped at
+    materialize), norm is recomputed vectorized here and kept on the
+    stream for downstream consumers."""
+
     def fn(batch: pa.Table) -> pa.Table:
+        if text_col not in batch.column_names:
+            from chameleon_entity_linking_ray.functions.text import normalize_array
+            norm = normalize_array(batch.column(source_col))
+            if isinstance(norm, pa.ChunkedArray):
+                norm = norm.combine_chunks()
+            batch = batch.append_column(text_col, norm)
         ids = node_id(batch.column(text_col).to_pylist())
         return batch.append_column(out_col, pa.array(ids, pa.int64()))
 
@@ -35,6 +47,10 @@ def build_vocab(mentions: Dataset, text_col: str = "norm",
     the difference between shuffling 10^12 rows and 10^7 at target scale."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if text_col not in df.columns:
+            # lean mention stream: derive norm from surface (vectorized)
+            from chameleon_entity_linking_ray.functions.text import normalize_list
+            df = pd.DataFrame({text_col: normalize_list(df["surface"].tolist())})
         part = df.groupby(text_col, sort=False).size().rename("n_mentions") \
             .reset_index()
         b = (mix64(hash64(part[text_col].to_numpy(object)), seed=67) %

@@ -59,7 +59,16 @@ class CheckpointManager:
         tmp = final + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
-        ds.write_parquet(tmp)
+        # checkpoints must be byte-identical across runs (the resume
+        # invariant); the streaming executor reorders blocks by completion
+        # unless preserve_order is set, so pin it for the write only
+        ctx = ray.data.DataContext.get_current()
+        prev = ctx.execution_options.preserve_order
+        ctx.execution_options.preserve_order = True
+        try:
+            ds.write_parquet(tmp)
+        finally:
+            ctx.execution_options.preserve_order = prev
         os.replace(tmp, final)
         out = ray.data.read_parquet(final)
         self.manifest["stages"][stage] = {

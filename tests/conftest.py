@@ -10,5 +10,9 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # deterministic block order in tests: the streaming executor otherwise
+    # emits blocks in completion order, which makes partitioned-order
+    # outputs (and their to_pandas views) flaky to compare
+    ctx.execution_options.preserve_order = True
     yield
     ray.shutdown()

@@ -36,6 +36,37 @@ class TestBfs:
         assert out == {0: 0, 5: 0, 1: 1, 6: 1}
 
 
+class TestExpandPerSeed:
+    def _reference_walk(self, graph: dict, start: int, k: int, mode: str):
+        """Direct reimplementation of the reference loop
+        (utils/entity_expander.py:78-101) with sorted neighbor order."""
+        visited, fringe = [], [start]
+        while fringe and len(visited) < k:
+            v = fringe.pop() if mode == "dfs" else fringe.pop(0)
+            if v not in visited:
+                if v != start:
+                    visited.append(v)
+                fringe.extend(sorted(set(graph.get(v, [])) - set(visited)))
+        return visited
+
+    @pytest.mark.parametrize("mode", ["dfs", "bfs"])
+    def test_matches_reference_loop(self, mode):
+        from chameleon_entity_linking_ray.stages.graph import expand_per_seed
+        rng = np.random.RandomState(9)
+        edges = {(int(a), int(b)) for a, b in rng.randint(0, 12, (40, 2))
+                 if a != b}
+        graph: dict = {}
+        for a, b in edges:
+            graph.setdefault(a, []).append(b)
+        ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+        for seed in (0, 3, 7):
+            df = expand_per_seed(ds, [seed], k=6, mode=mode).to_pandas()
+            got = df.sort_values("visit_order")["node"].tolist() \
+                if len(df) else []
+            want = self._reference_walk(graph, seed, 6, mode)
+            assert got == want, (mode, seed)
+
+
 class TestPpr:
     def test_matches_dense_power_iteration(self):
         rng = np.random.RandomState(4)
