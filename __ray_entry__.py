@@ -102,9 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "embedding_near_dups": C.embedding_near_dups,
         "embedding_near_dups_lsh": C.embedding_near_dups_lsh,
-        # --- similarity search ---
+        # --- similarity search / vector pooling ---
         "ann_topk": C.ann_topk,
         "ann_lsh_topk": C.ann_lsh_topk,
+        "group_mean_vectors": C.group_mean_vectors,
         # --- reference ingest surface (S1-S5 roundtrips through real
         #     files under /tmp, re-read by sources/ingest.py readers) ---
         "tsv_mentions": R.tsv_mentions,
@@ -330,6 +331,15 @@ def oracle_sql() -> dict[str, str]:
                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             WHERE cosine >= 0.35""",
+        "group_mean_vectors": """
+            WITH g AS (SELECT vec_id % 10 AS grp,
+                              CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            u AS (SELECT grp, i AS pos1, e[i] AS v
+                  FROM g CROSS JOIN generate_series(1, 64) t(i))
+            SELECT grp, CAST(pos1 - 1 AS BIGINT) AS pos,
+                   ROUND(AVG(v), 6) AS mean_v
+            FROM u GROUP BY grp, pos1""",
         "tsv_mentions": f"""
             WITH t AS (SELECT p_partkey, {title} AS text FROM part)
             SELECT p_partkey,

@@ -32,6 +32,10 @@ class LinkageConfig:
     feature_dim: int = 512  # hashed char-ngram feature space
     text_weight: float = 0.9
     entity_weight: float = 0.1
+    # "blend": 0.9*text + 0.1*entity (BiEncoder/test.py:120);
+    # "dual_mean": unweighted mean of the two scores — the Fully dual-tower
+    # variant (/root/reference/Fully/model.py:65-68)
+    score_mode: str = "blend"
     score_threshold: float = 0.70  # match iff score > threshold; calibrated
     # offline: blend = 0.9*MongeElkan + 0.1*ngram-idf-cosine gives cluster
     # F1=1.0 on the synthetic alias noise for thresholds in [0.65, 0.72]

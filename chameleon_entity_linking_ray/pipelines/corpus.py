@@ -553,6 +553,24 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35) -> Dataset:
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
+def group_mean_vectors(sf_dir: str, n_groups: int = 10) -> Dataset:
+    """A2 mean-pool parity query: element-wise mean embedding per
+    ``vec_id %% n_groups`` group, LONG format (grp, pos, mean_v) — oracle
+    verifies per-position means against DuckDB list indexing."""
+    from chameleon_entity_linking_ray.stages.agg import mean_pool_vectors
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def with_grp(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "grp": pa.array(vid % n_groups, pa.int64()),
+            "embedding": batch.column("embedding"),
+        })
+
+    return mean_pool_vectors(emb.map_batches(with_grp, batch_format="pyarrow"),
+                             "grp", "embedding")
+
+
 # ------------------------------------------------------- extraction parity ops
 
 def _title_sentence(batch: pa.Table) -> pa.Table:

@@ -84,6 +84,46 @@ def distinct(ds: Dataset, keys: list[str], num_buckets: int = 32) -> Dataset:
         .groupby("__abucket").map_groups(combine, batch_format="pandas")
 
 
+def mean_pool_vectors(ds: Dataset, group_col: str, vec_col: str,
+                      num_buckets: int = 16, round_to: int = 6) -> Dataset:
+    """Grouped element-wise mean of ``list<float>`` vectors — the engine
+    form of the reference's per-doc entity-vector mean pool
+    (/root/reference/BiEncoder/test_wikipedia2vec.py:56-67), combiner
+    style: each block pre-aggregates (group, pos) partial sums + counts
+    (one ``np.add.at`` scatter per block), the bucketed combine sums the
+    partials, and the mean divides once. Emits LONG format
+    (group, pos, mean_v) so results are scalar-comparable cross-engine."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        grp = batch.column(group_col).to_numpy(zero_copy_only=False)
+        gu, inv = np.unique(grp, return_inverse=True)
+        dim = mat.shape[1]
+        sums = np.zeros((len(gu), dim), np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            group_col: pa.array(np.repeat(gu, dim), pa.int64()),
+            "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(gu)),
+                            pa.int64()),
+            "s": pa.array(sums.reshape(-1), pa.float64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64()),
+        })
+
+    summed = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                         keys=[group_col, "pos"],
+                         aggs={"s": ("s", "sum"), "n": ("n", "sum")},
+                         num_buckets=num_buckets)
+
+    def mean(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[group_col, "pos"]].copy()
+        out["mean_v"] = np.round(df["s"].to_numpy() /
+                                 np.maximum(df["n"].to_numpy(), 1), round_to)
+        return out
+
+    return summed.map_batches(mean, batch_format="pandas")
+
+
 def top_k(ds: Dataset, by: list[str], ascending: list[bool], k: int) -> Dataset:
     """Global top-k with per-block pruning: each block keeps its own top-k
     (vectorized nsmallest/nlargest-style sort), then one tiny final sort.

@@ -62,6 +62,59 @@ def edit_similarity(a: str, b: str) -> float:
     return max(0.0, 1.0 - prev[lb] / max(la, lb))
 
 
+def _dp_batch(A: list[str], B: list[str]) -> np.ndarray:
+    """Batched Levenshtein DP over UTF-32 codepoint matrices: the j-loop is
+    sequential (cur[j-1] dependency) but every cell op is vectorized over
+    ALL pairs — O(maxLa*maxLb) numpy steps instead of per-pair Python."""
+    n = len(A)
+    la = np.fromiter(map(len, A), np.int64, n)
+    lb = np.fromiter(map(len, B), np.int64, n)
+    La, Lb = int(la.max()), int(lb.max())
+    # distinct pad sentinels so padding never matches
+    arr_a = np.frombuffer("".join(a.ljust(La, "\0") for a in A)
+                          .encode("utf-32-le"), np.uint32).reshape(n, La)
+    arr_b = np.frombuffer("".join(b.ljust(Lb, "\1") for b in B)
+                          .encode("utf-32-le"), np.uint32).reshape(n, Lb)
+    prev = np.tile(np.arange(Lb + 1, dtype=np.int32), (n, 1))
+    cur = np.empty_like(prev)
+    dist = np.zeros(n, np.int32)
+    for i in range(1, La + 1):
+        cur[:, 0] = i
+        ca = arr_a[:, i - 1]
+        for j in range(1, Lb + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + (ca != arr_b[:, j - 1]))
+        done = la == i
+        if done.any():
+            dist[done] = cur[done, lb[done]]
+        prev, cur = cur, prev
+    sim = 1.0 - dist / np.maximum(la, lb)
+    return np.maximum(0.0, sim).astype(np.float32)
+
+
+def edit_similarity_batch(A: list[str], B: list[str]) -> np.ndarray:
+    """Vectorized ``edit_similarity`` over aligned string lists: the
+    equal / prefix / length-gap fast paths are numpy masks; only the
+    remainder runs the batched DP. Bit-equal to the scalar function."""
+    n = len(A)
+    out = np.zeros(n, np.float32)
+    if n == 0:
+        return out
+    la = np.fromiter(map(len, A), np.int64, n)
+    lb = np.fromiter(map(len, B), np.int64, n)
+    eq = np.fromiter((a == b for a, b in zip(A, B)), bool, n)
+    pre = np.fromiter((a.startswith(b) or b.startswith(a)
+                       for a, b in zip(A, B)), bool, n) & ~eq
+    out[eq] = 1.0
+    out[pre] = np.where(np.minimum(la, lb)[pre] >= 3, np.float32(0.92),
+                        np.float32(0.7))
+    rest = np.flatnonzero(~eq & ~pre & (np.abs(la - lb) <= 3))
+    if rest.size:
+        out[rest] = _dp_batch([A[i] for i in rest], [B[i] for i in rest])
+    return out
+
+
 def weighted_ngram_features(texts: list[str], dim: int, k: int, seed: int,
                             stats: IdfStats | None) -> np.ndarray:
     """L2-normalized hashed char-ngram vectors, IDF-weighted when stats given."""
@@ -133,6 +186,88 @@ class PairScorer:
 
         return min(side(lt, lw, rt), side(rt, rw, lt))
 
+    def _batch_monge_elkan(self, lefts: list[str], rights: list[str]) -> np.ndarray:
+        """Vectorized symmetrized Monge-Elkan over a batch of pairs: token
+        decompositions come from the actor cache, missing token-pair
+        similarities are computed in ONE batched DP
+        (``edit_similarity_batch``), and the per-side max/weighted-mean
+        arithmetic is segment ``reduceat`` — no per-pair Python beyond the
+        cache probes."""
+        n = len(lefts)
+        out = np.zeros(n, np.float32)
+        lt = [self._tokens(t) for t in lefts]
+        rt = [self._tokens(t) for t in rights]
+        nl_all = np.fromiter((len(t[0]) for t in lt), np.int64, n)
+        nr_all = np.fromiter((len(t[0]) for t in rt), np.int64, n)
+        live = np.flatnonzero((nl_all > 0) & (nr_all > 0))
+        if live.size == 0:
+            return out
+        nl = nl_all[live]
+        nr = nr_all[live]
+        cnt = nl * nr
+        total = int(cnt.sum())
+        off = np.zeros(len(live), np.int64)
+        np.cumsum(cnt[:-1], out=off[1:])
+
+        # flat (ai-major) token-pair similarity array, cache-resolved
+        flat = [(a, b) for i in live for a in lt[i][0] for b in rt[i][0]]
+        sims = np.empty(total, np.float64)
+        cache = self._sim_cache
+        miss_pos: list[int] = []
+        miss_keys: list[tuple[str, str]] = []
+        for idx, (a, b) in enumerate(flat):
+            key = (a, b) if a < b else (b, a)
+            v = cache.get(key)
+            if v is None:
+                miss_pos.append(idx)
+                miss_keys.append(key)
+            else:
+                sims[idx] = v
+        if miss_pos:
+            uniq = list(dict.fromkeys(miss_keys))
+            vals = edit_similarity_batch([k[0] for k in uniq],
+                                         [k[1] for k in uniq])
+            if len(cache) + len(uniq) >= self._cache_cap:
+                cache.clear()
+            for k, v in zip(uniq, vals):
+                cache[k] = float(v)
+            for pos, key in zip(miss_pos, miss_keys):
+                sims[pos] = cache[key]
+
+        wl = np.concatenate([lt[i][1] for i in live])
+        wr = np.concatenate([rt[i][1] for i in live])
+        tok_starts_l = np.zeros(len(live), np.int64)
+        np.cumsum(nl[:-1], out=tok_starts_l[1:])
+        tok_starts_r = np.zeros(len(live), np.int64)
+        np.cumsum(nr[:-1], out=tok_starts_r[1:])
+
+        # direction 1: max over right tokens per (pair, left-token)
+        run1 = np.repeat(nr, nl)  # one run of nr[i] per left token
+        starts1 = np.zeros(len(run1), np.int64)
+        np.cumsum(run1[:-1], out=starts1[1:])
+        max1 = np.maximum.reduceat(sims, starts1)
+        num1 = np.add.reduceat(wl * max1, tok_starts_l)
+        den1 = np.add.reduceat(wl, tok_starts_l)
+        side1 = np.divide(num1, den1, out=np.zeros_like(num1), where=den1 > 0)
+
+        # direction 2: transpose each pair's local (ai, bj) matrix
+        nl_rep = np.repeat(nl, cnt)
+        nr_rep = np.repeat(nr, cnt)
+        off_rep = np.repeat(off, cnt)
+        within2 = np.arange(total, dtype=np.int64) - off_rep
+        perm = off_rep + (within2 % nl_rep) * nr_rep + within2 // nl_rep
+        sims_t = sims[perm]
+        run2 = np.repeat(nl, nr)
+        starts2 = np.zeros(len(run2), np.int64)
+        np.cumsum(run2[:-1], out=starts2[1:])
+        max2 = np.maximum.reduceat(sims_t, starts2)
+        num2 = np.add.reduceat(wr * max2, tok_starts_r)
+        den2 = np.add.reduceat(wr, tok_starts_r)
+        side2 = np.divide(num2, den2, out=np.zeros_like(num2), where=den2 > 0)
+
+        out[live] = np.minimum(side1, side2).astype(np.float32)
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         c = self.c
         left = batch.column("left_text").to_pylist()
@@ -159,17 +294,21 @@ class PairScorer:
         if survivors.size:
             sl = [left[i] for i in survivors]
             sr = [right[i] for i in survivors]
-            # --- rerank (cross-encoder analog) ---
-            text_score[survivors] = np.fromiter(
-                (self._monge_elkan(a, b) for a, b in zip(sl, sr)),
-                dtype=np.float32, count=len(sl))
+            # --- rerank (cross-encoder analog), batch-vectorized ---
+            text_score[survivors] = self._batch_monge_elkan(sl, sr)
             fl = weighted_ngram_features(sl, c.feature_dim, c.shingle_k,
                                          c.minhash_seed, self.stats)
             fr = weighted_ngram_features(sr, c.feature_dim, c.shingle_k,
                                          c.minhash_seed, self.stats)
             entity_score[survivors] = cosine_rows(fl, fr)
 
-        score = (c.text_weight * text_score + c.entity_weight * entity_score).astype(np.float32)
+        if c.score_mode == "dual_mean":
+            # Fully dual-tower variant: unweighted mean of the two tower
+            # scores (/root/reference/Fully/model.py:65-68)
+            score = ((text_score + entity_score) / 2).astype(np.float32)
+        else:
+            score = (c.text_weight * text_score +
+                     c.entity_weight * entity_score).astype(np.float32)
         return (batch
                 .append_column("text_score", pa.array(text_score, pa.float32()))
                 .append_column("entity_score", pa.array(entity_score, pa.float32()))

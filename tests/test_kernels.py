@@ -106,3 +106,42 @@ class TestFeatures:
     def test_disjoint_cosine_zero(self):
         m = feature_matrix(["aaaa", "zzzz"], 4096, 3, 5)
         assert cosine_rows(m[[0]], m[[1]])[0] == pytest.approx(0.0, abs=1e-3)
+
+
+class TestSyntheticSpans:
+    def test_reference_parity_arithmetic(self):
+        """Exact reproduction of the reference loop
+        (/root/reference/BiEncoder/model.py:175-180), including the
+        inclusive len-1 ends and the prev-length-only offset quirk."""
+        from chameleon_entity_linking_ray.functions.spans import (
+            synthetic_entity_spans)
+        texts, spans = synthetic_entity_spans([["Wayne", "Stark Ind", "LexCorp"]])
+        assert texts == ["Wayne Stark Ind LexCorp"]
+        # idx0: (0, 4); idx1: elen=len("Wayne")+1=6 -> (6, 14);
+        # idx2: elen=len("Stark Ind")+1=10 -> (10, 16)  [the quirk]
+        assert spans == [[(0, 4), (6, 14), (10, 16)]]
+
+    def test_corrected_mode_indexes_text(self):
+        from chameleon_entity_linking_ray.functions.spans import (
+            synthetic_entity_spans)
+        ents = ["Wayne", "Stark Ind", "LexCorp"]
+        texts, spans = synthetic_entity_spans([ents], reference_parity=False)
+        for (s, e), ent in zip(spans[0], ents):
+            assert texts[0][s:e] == ent
+
+
+class TestDualMeanScoreMode:
+    def test_mean_of_towers(self):
+        import numpy as np
+        import pyarrow as pa
+        from chameleon_entity_linking_ray.config import LinkageConfig
+        from chameleon_entity_linking_ray.stages.scoring import PairScorer
+        batch = pa.table({
+            "left_text": ["wayne industries", "alpha beta"],
+            "right_text": ["wayne industries", "gamma delta"],
+        })
+        out = PairScorer(LinkageConfig(score_mode="dual_mean"))(batch)
+        t = out.column("text_score").to_numpy(zero_copy_only=False)
+        e = out.column("entity_score").to_numpy(zero_copy_only=False)
+        s = out.column("score").to_numpy(zero_copy_only=False)
+        assert np.allclose(s, (t + e) / 2, atol=1e-6)
