@@ -251,17 +251,14 @@ def ir_metrics(sf_dir: str, k: int = 10) -> Dataset:
                          "o_orderstatus"])
 
     def run_rows(batch: pa.Table) -> pa.Table:
+        # rel is derivable from the run rows here (qrels ⊆ run), so the
+        # run carries it inline and the metric op skips its join
+        rel = pc.cast(pc.equal(batch.column("o_orderstatus"), "F"),
+                      pa.int64())
         return pa.table({"qid": pc.cast(batch.column("o_custkey"), pa.int64()),
                          "pid": pc.cast(batch.column("o_orderkey"), pa.int64()),
-                         "score": batch.column("o_totalprice")})
-
-    def qrel_rows(batch: pa.Table) -> pa.Table:
-        b = batch.filter(pc.equal(batch.column("o_orderstatus"), "F"))
-        return pa.table({"qid": pc.cast(b.column("o_custkey"), pa.int64()),
-                         "pid": pc.cast(b.column("o_orderkey"), pa.int64()),
-                         "rel": pa.array(np.ones(b.num_rows, np.int64),
-                                         pa.int64())})
+                         "score": batch.column("o_totalprice"),
+                         "rel": rel})
 
     run = orders.map_batches(run_rows, batch_format="pyarrow")
-    qrels = orders.map_batches(qrel_rows, batch_format="pyarrow")
-    return ir_metrics_aggregate(run, qrels, k=k)
+    return ir_metrics_aggregate(run, None, k=k)

@@ -84,13 +84,20 @@ def _per_query_metrics(g: pd.DataFrame, k: int) -> pd.DataFrame:
     })
 
 
-def per_query_ir_metrics(run: Dataset, qrels: Dataset, k: int = 10,
+def per_query_ir_metrics(run: Dataset, qrels: Dataset | None, k: int = 10,
                          num_buckets: int = 16) -> Dataset:
     """(qid, ndcg, p_at_k, ap, rr, r_at_k) — one row per qid in the run.
     qrels rows not in the run still count toward recall/AP denominators via
-    a full outer join per qid (un-run relevant docs rank below k)."""
-    j = hash_join(run, qrels, on=("qid", "pid"), join_type="full_outer",
-                  num_partitions=num_buckets)
+    a full outer join per qid (un-run relevant docs are never hits).
+
+    Pass ``qrels=None`` when the run already carries a ``rel`` column
+    (qrels ⊆ run, e.g. relevance derivable from the scored rows): the
+    full-outer join — the expensive step — is skipped entirely."""
+    if qrels is None:
+        j = run
+    else:
+        j = hash_join(run, qrels, on=("qid", "pid"), join_type="full_outer",
+                      num_partitions=num_buckets)
 
     def clean(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -111,7 +118,7 @@ def per_query_ir_metrics(run: Dataset, qrels: Dataset, k: int = 10,
         .map_groups(lambda g: _per_query_metrics(g, k), batch_format="pandas")
 
 
-def ir_metrics_aggregate(run: Dataset, qrels: Dataset, k: int = 10,
+def ir_metrics_aggregate(run: Dataset, qrels: Dataset | None, k: int = 10,
                          num_buckets: int = 16, round_to: int = 6) -> Dataset:
     """ONE row of global means over per-query metrics — the
     ``calc_aggregate`` analog. Combiner form: per-bucket partial sums,
