@@ -516,9 +516,13 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> Dataset:
                            batch_size=2048)
 
 
-def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35) -> Dataset:
+def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35,
+                            max_bucket: int = 4096) -> Dataset:
     """Embedding-cosine near-dup pairs: all-pairs within LSH buckets
-    (blocked, not O(n^2) global). Emits pairs with cosine >= threshold."""
+    (blocked, not O(n^2) global); a HOT bucket above ``max_bucket``
+    members falls back to windowed pairing over id-sorted members (cap
+    n*W instead of n^2/2 — same skew policy as the blocking stage).
+    Emits pairs with cosine >= threshold."""
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     rng = np.random.RandomState(11)
@@ -538,16 +542,27 @@ def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35) -> Dataset:
         })
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort")
         mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         ids = g["vec_id"].to_numpy()
-        sims = mat @ mat.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
+        n = len(ids)
+        if n <= max_bucket:
+            iu, ju = np.triu_indices(n, k=1)
+        else:  # hot bucket: windowed pairing, n*W not n^2/2
+            window = 64
+            iu = np.repeat(np.arange(n), np.minimum(n - 1 - np.arange(n),
+                                                    window))
+            seg = np.zeros(n, np.int64)
+            np.cumsum(np.minimum(n - 1 - np.arange(n), window)[:-1],
+                      out=seg[1:])
+            ju = np.arange(len(iu), dtype=np.int64) - seg[iu] + iu + 1
+        sims = np.einsum("ij,ij->i", mat[iu], mat[ju])
+        keep = sims >= threshold
         lo = np.minimum(ids[iu][keep], ids[ju][keep])
         hi = np.maximum(ids[iu][keep], ids[ju][keep])
         return pd.DataFrame({"left_vec": lo, "right_vec": hi,
-                             "cosine": np.round(sims[iu, ju][keep], 6)})
+                             "cosine": np.round(sims[keep], 6)})
 
     return emb.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
