@@ -59,8 +59,9 @@ from chameleon_entity_linking_ray.state.checkpoint import (
 
 
 def extract_mentions(transcripts: Dataset, config: LinkageConfig) -> Dataset:
-    # lean shape: the derivable columns (mention_id, rho) are rebuilt at
-    # output time by restore_derived — they never ride the materialize
+    # lean shape: the derivable columns (mention_id, rho, norm) are rebuilt
+    # where needed (restore_derived / add_node_column / vocab partial) —
+    # they never ride the materialize
     extractor = MentionExtractor(config)
     return transcripts.map_batches(
         extractor.explode_lean, batch_format="pyarrow",

@@ -8,13 +8,14 @@ reference's ``rho > 0.26`` filter (:10,:32) is applied identically. The
 async-batch concurrency pattern maps to Ray scheduling many `map_batches`
 tasks concurrently.
 
-Two shapes are produced:
-- ``annotate_batch``: adds a typed ``mentions`` list<struct> column to each
-  turn row — the Arrow replacement for the reference's ``eval()``-parsed TSV
+Three shapes are produced:
+- ``annotate``: adds a typed ``mentions`` list<struct> column to each turn
+  row — the Arrow replacement for the reference's ``eval()``-parsed TSV
   annotation column (/root/reference/BiEncoder/train.py:67-82).
-- ``explode_batch``: one output row per mention (mention_id, conv_id,
-  turn_idx, span, surface, norm, rho) — the unit the blocking/scoring
-  pipeline works on.
+- ``explode``: one output row per mention (mention_id, conv_id, turn_idx,
+  span, surface, norm, rho) — the full public shape.
+- ``explode_lean``: the flagship's hot-path shape — only the
+  non-derivable columns; ``restore_derived`` rebuilds the rest at output.
 """
 
 from __future__ import annotations
