@@ -145,6 +145,43 @@ def _local_sort(ds: Dataset, keys: list[str]) -> Dataset:
     return ds.map_batches(psort, batch_format="pyarrow", batch_size=None)
 
 
+def blocks_range_partitioned(ds: Dataset, keys: list[str] | None = None) -> bool:
+    """Validate the range-partition contract ``order="partitioned"`` relies
+    on: per block, emit the min and max composite sort key (one Arrow
+    sort_indices per block — no data movement); the per-block sort yields a
+    globally stable order iff consecutive block boundaries are
+    non-decreasing in Dataset block order. Used by ``order="auto"`` to pick
+    the zero-shuffle path safely instead of assuming the contract."""
+    import numpy as np  # noqa: F401  (parity with sibling helpers)
+
+    keys = keys or _OUT_KEYS
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [(f"{k}_{e}", batch.schema.field(k).type)
+                 for e in ("lo", "hi") for k in keys]).empty_table()
+        idx = pc.sort_indices(
+            batch, sort_keys=[(k, "ascending") for k in keys])
+        lo = batch.take(idx.slice(0, 1))
+        hi = batch.take(idx.slice(len(idx) - 1, 1))
+        cols = {f"{k}_lo": lo.column(k) for k in keys}
+        cols.update({f"{k}_hi": hi.column(k) for k in keys})
+        return pa.table(cols)
+
+    # batch_size=None -> one row per block; tiny result, ordered like blocks
+    rows = ds.map_batches(bounds, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    prev_hi = None
+    for r in rows:
+        lo = tuple(r[f"{k}_lo"] for k in keys)
+        hi = tuple(r[f"{k}_hi"] for k in keys)
+        if prev_hi is not None and lo < prev_hi:
+            return False
+        prev_hi = hi
+    return True
+
+
 def _ordered(ds: Dataset, order: str) -> Dataset:
     from chameleon_entity_linking_ray.stages.extract import restore_derived
     ds = ds.map_batches(restore_derived, batch_format="pyarrow")
@@ -156,12 +193,20 @@ def _ordered(ds: Dataset, order: str) -> Dataset:
 def assign_clusters(mentions: Dataset, assignments: Dataset,
                     config: LinkageConfig,
                     broadcast_threshold: int = 4_000_000,
-                    order: str = "partitioned") -> Dataset:
+                    order: str = "auto") -> Dataset:
     """Left-join mentions (via node = hash(norm)) with CC assignments;
     singleton surfaces cluster to their own node id. Output in stable
-    (conv_id, turn_idx, span_start) order — per range-partition by default
-    (``order="partitioned"``, no shuffle; see ``_local_sort``), or one
-    totally-ordered stream with ``order="global"``.
+    (conv_id, turn_idx, span_start) order. ``order`` picks how:
+
+    - ``"auto"`` (default): validate the range-partition contract with
+      ``blocks_range_partitioned`` (per-block min/max boundary keys — no
+      shuffle) and take the zero-movement per-block sort when it holds,
+      else fall back to the global ``Dataset.sort``. Callers feeding
+      interleaved / unsorted input get the totally-ordered output the
+      original contract promised.
+    - ``"partitioned"``: per-block sort, contract ASSUMED (benchmarks on
+      known range-partitioned corpora skip the validation pass).
+    - ``"global"``: always the all-to-all sort.
 
     The assignment table covers only surfaces that matched something —
     vocabulary-scale, orders of magnitude below the mention stream — so up
@@ -170,6 +215,8 @@ def assign_clusters(mentions: Dataset, assignments: Dataset,
     every mention through a hash join; beyond that the bucketed shuffle
     join takes over (which destroys partition order, so that path always
     ends in the global sort)."""
+    if order == "auto":
+        order = "partitioned" if blocks_range_partitioned(mentions) else "global"
     with_node = mentions.map_batches(add_node_column(), batch_format="pyarrow")
     n_assign = assignments.count()
 
@@ -313,7 +360,7 @@ def annotate_transcripts(transcripts: Dataset, clustered: Dataset,
 def run_linkage(transcripts: Dataset, config: LinkageConfig | None = None,
                 checkpoint_dir: str | None = None,
                 input_paths: list[str] | None = None,
-                order: str = "partitioned") -> tuple[Dataset, dict]:
+                order: str = "auto") -> tuple[Dataset, dict]:
     """Full pipeline. Returns (clustered mentions Dataset, stage metrics).
 
     With ``checkpoint_dir``, each stage's output is written atomically and a
@@ -390,7 +437,7 @@ def run_linkage(transcripts: Dataset, config: LinkageConfig | None = None,
 def run_linkage_on_parquet(path: str, config: LinkageConfig | None = None,
                            checkpoint_dir: str | None = None,
                            num_blocks: int | None = None,
-                           order: str = "partitioned") -> tuple[Dataset, dict]:
+                           order: str = "auto") -> tuple[Dataset, dict]:
     # prune at the read: extraction only needs these three columns.
     # num_blocks: a single small parquet file loads as ONE block and would
     # serialize the extraction stage; benchmarks pass ~4x num_cpus.

@@ -94,7 +94,12 @@ def mean_pool_vectors(ds: Dataset, group_col: str, vec_col: str,
     partials, and the mean divides once. Emits LONG format
     (group, pos, mean_v) so results are scalar-comparable cross-engine."""
 
+    _partial_schema = pa.schema([(group_col, pa.int64()), ("pos", pa.int64()),
+                                 ("s", pa.float64()), ("n", pa.int64())])
+
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty blocks occur after upstream filters
+            return _partial_schema.empty_table()
         mat = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
         grp = batch.column(group_col).to_numpy(zero_copy_only=False)
         gu, inv = np.unique(grp, return_inverse=True)

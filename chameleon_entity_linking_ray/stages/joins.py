@@ -185,7 +185,10 @@ def broadcast_lookup(ds: Dataset, mapping: dict, key_col: str, out_col: str,
     (pd.Index, value array) and probed with the vectorized ``get_indexer``
     (C hash-table batch lookup), never a per-row ``dict.get`` loop."""
     idx = pd.Index(list(mapping.keys()))
-    vals = np.asarray(list(mapping.values()), dtype=object)
+    # force a 1-D object array: np.asarray would build a 2-D array when all
+    # values are equal-length sequences, making values[pos] return rows
+    vals = np.empty(len(mapping), dtype=object)
+    vals[:] = list(mapping.values())
     ref = ray.put((idx, vals))
 
     def lookup(batch: pa.Table) -> pa.Table:
@@ -206,6 +209,12 @@ def broadcast_hash_join(large: Dataset, small: Dataset, on: tuple[str, ...],
     the shared copy — no shuffle of the large side at all. The textbook
     broadcast-join case (dimension tables, lookup tables); use ``hash_join``
     when both sides are large."""
+    if join_type not in ("inner", "left_outer"):
+        # right_outer / full_outer are NOT sound map-side: an unmatched
+        # small-side row would be emitted once per large-side batch.
+        raise ValueError(
+            f"broadcast_hash_join supports inner/left_outer, got {join_type!r};"
+            " use hash_join for right/full outer")
     on = tuple(on)
     right_on = tuple(right_on) if right_on else on
     sdf = small.to_pandas()

@@ -89,8 +89,11 @@ def _dp_batch(A: list[str], B: list[str]) -> np.ndarray:
         if done.any():
             dist[done] = cur[done, lb[done]]
         prev, cur = cur, prev
+    # float64 end-to-end: cached values must be bit-equal to the scalar
+    # edit_similarity path (which computes 1 - dist/max in float64), so the
+    # memo cache yields identical scores no matter which path populated it
     sim = 1.0 - dist / np.maximum(la, lb)
-    return np.maximum(0.0, sim).astype(np.float32)
+    return np.maximum(0.0, sim)
 
 
 def edit_similarity_batch(A: list[str], B: list[str]) -> np.ndarray:
@@ -98,7 +101,7 @@ def edit_similarity_batch(A: list[str], B: list[str]) -> np.ndarray:
     equal / prefix / length-gap fast paths are numpy masks; only the
     remainder runs the batched DP. Bit-equal to the scalar function."""
     n = len(A)
-    out = np.zeros(n, np.float32)
+    out = np.zeros(n, np.float64)
     if n == 0:
         return out
     la = np.fromiter(map(len, A), np.int64, n)
@@ -107,8 +110,7 @@ def edit_similarity_batch(A: list[str], B: list[str]) -> np.ndarray:
     pre = np.fromiter((a.startswith(b) or b.startswith(a)
                        for a, b in zip(A, B)), bool, n) & ~eq
     out[eq] = 1.0
-    out[pre] = np.where(np.minimum(la, lb)[pre] >= 3, np.float32(0.92),
-                        np.float32(0.7))
+    out[pre] = np.where(np.minimum(la, lb)[pre] >= 3, 0.92, 0.7)
     rest = np.flatnonzero(~eq & ~pre & (np.abs(la - lb) <= 3))
     if rest.size:
         out[rest] = _dp_batch([A[i] for i in rest], [B[i] for i in rest])
@@ -138,24 +140,26 @@ class PairScorer:
         self.c = config or LinkageConfig()
         self.stats: IdfStats | None = ray.get(stats_ref) if stats_ref is not None else None
         self.prefilter = prefilter
-        self._tok_cache: dict[str, tuple[list[str], np.ndarray]] = {}
+        # text -> (tokens, token hash64s, IDF weights)
+        self._tok_cache: dict[str, tuple[list[str], np.ndarray, np.ndarray]] = {}
         self._sim_cache: dict[tuple[str, str], float] = {}
         # memo caches are bounded: an actor lives for the whole stage, and
         # at 1e12-scale vocabularies unbounded memos are an OOM; reset-on-cap
         # keeps amortization within a working set without LRU bookkeeping
         self._cache_cap = 2_000_000
 
-    def _tokens(self, text: str) -> tuple[list[str], np.ndarray]:
+    def _tokens(self, text: str) -> tuple[list[str], np.ndarray, np.ndarray]:
         hit = self._tok_cache.get(text)
         if hit is None:
             if len(self._tok_cache) >= self._cache_cap:
                 self._tok_cache.clear()
             toks = text.split()
+            th = hash64(toks)
             if self.stats is not None and toks:
-                w = self.stats.token_weights(hash64(toks)).astype(np.float64)
+                w = self.stats.token_weights(th).astype(np.float64)
             else:
                 w = np.ones(len(toks), dtype=np.float64)
-            hit = (toks, w)
+            hit = (toks, th, w)
             self._tok_cache[text] = hit
         return hit
 
@@ -172,8 +176,8 @@ class PairScorer:
     def _monge_elkan(self, left: str, right: str) -> float:
         """Symmetrized IDF-weighted Monge-Elkan token alignment (min of the
         two directions — the conservative choice for precision)."""
-        lt, lw = self._tokens(left)
-        rt, rw = self._tokens(right)
+        lt, _, lw = self._tokens(left)
+        rt, _, rw = self._tokens(right)
         if not lt or not rt:
             return 0.0
 
@@ -234,8 +238,8 @@ class PairScorer:
             for pos, key in zip(miss_pos, miss_keys):
                 sims[pos] = cache[key]
 
-        wl = np.concatenate([lt[i][1] for i in live])
-        wr = np.concatenate([rt[i][1] for i in live])
+        wl = np.concatenate([lt[i][2] for i in live])
+        wr = np.concatenate([rt[i][2] for i in live])
         tok_starts_l = np.zeros(len(live), np.int64)
         np.cumsum(nl[:-1], out=tok_starts_l[1:])
         tok_starts_r = np.zeros(len(live), np.int64)
@@ -283,10 +287,26 @@ class PairScorer:
         sig_l = minhash_signatures(left, c.shingle_k, c.num_perm, c.minhash_seed)
         sig_r = minhash_signatures(right, c.shingle_k, c.num_perm, c.minhash_seed)
         jac = estimate_jaccard(sig_l, sig_r)
-        # token-block pairs share a whole token: always worth reranking
-        shares_token = np.fromiter(
-            (not set(l.split()).isdisjoint(r.split()) for l, r in zip(left, right)),
-            dtype=bool, count=n)
+        # token-block pairs share a whole token: always worth reranking.
+        # Vectorized via token hash64s (cached per surface): concatenate
+        # (pair, hash, side) rows, one lexsort, and any equal (pair, hash)
+        # run containing both sides has an adjacent left->right boundary.
+        lh = [self._tokens(t)[1] for t in left]
+        rh = [self._tokens(t)[1] for t in right]
+        nl = np.fromiter(map(len, lh), np.int64, n)
+        nr = np.fromiter(map(len, rh), np.int64, n)
+        pid = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), nl),
+                              np.repeat(np.arange(n, dtype=np.int64), nr)])
+        hsh = np.concatenate(lh + rh) if pid.size else np.empty(0, np.uint64)
+        side = np.concatenate([np.zeros(int(nl.sum()), np.int8),
+                               np.ones(int(nr.sum()), np.int8)])
+        shares_token = np.zeros(n, dtype=bool)
+        if pid.size > 1:
+            o = np.lexsort((side, hsh, pid))
+            pid, hsh, side = pid[o], hsh[o], side[o]
+            hit = (pid[1:] == pid[:-1]) & (hsh[1:] == hsh[:-1]) & \
+                (side[1:] > side[:-1])
+            shares_token[pid[:-1][hit]] = True
         survivors = np.flatnonzero((jac >= self.prefilter) | shares_token)
 
         text_score = np.zeros(n, dtype=np.float32)
