@@ -144,13 +144,19 @@ def _q_ppr(sf_dir):
 
 
 def _q_media(sf_dir):
-    # REAL pure-numpy BMP decode (stages/multimodal.py round-2 de-stub):
-    # mean_intensity comes from actual decoded pixels
+    # REAL pure-numpy BMP encode->decode round trip over media derived
+    # from the part table with FORMULAIC pixels (stages/multimodal.py:
+    # formula_pixels), so the decoded mean_intensity is SQL-derivable:
+    # the oracle recomputes AVG((key + i) % 256) with generate_series and
+    # never sees the codec — a value-level check of the decode path.
     import ray.data
     from chameleon_entity_linking_ray.stages.multimodal import (
-        decode_media, synth_media)
-    return decode_media(ray.data.from_arrow(synth_media(256, seed=7)),
-                        feature_dim=16).drop_columns(["feature"])
+        decode_media, media_from_keys)
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                  columns=["p_partkey"]) \
+        .filter(expr="p_partkey < 256")
+    media = parts.map_batches(media_from_keys, batch_format="pyarrow")
+    return decode_media(media, feature_dim=16).drop_columns(["feature"])
 
 
 def oracle_sql() -> dict[str, str]:
@@ -331,6 +337,48 @@ def oracle_sql() -> dict[str, str]:
                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             WHERE cosine >= 0.35""",
+        # multi-table hyperplane LSH candidates disposed by EXACT cosine:
+        # same contract as the brute-force op, so the same oracle applies
+        # (recall tuned to ~1-3e-9 at the 0.35 boundary; see
+        # pipelines/corpus.py:embedding_near_dups_lsh)
+        "embedding_near_dups_lsh": """
+            SELECT * FROM (
+                SELECT a.vec_id AS left_vec, b.vec_id AS right_vec,
+                       ROUND(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cosine >= 0.35""",
+        # MinHash-LSH candidates disposed by EXACT char-8-shingle Jaccard:
+        # value-identical to the rare-shingle exact pipeline's contract
+        # (both have full recall on this corpus's j>=0.5 pairs — near-dups
+        # sit at j>=0.9 with nothing between 0.3 and 0.9; see
+        # pipelines/corpus.py:minhash_dup_pairs).
+        # Known divergence ABOVE the sf0.01 gate: at sf0.1 the df<=10
+        # rare-shingle ORACLE under-recalls (211 pairs vs the engine's 256;
+        # raising the cap to 30 still misses 2 and costs 400s of SQL) —
+        # the LSH engine is the more-complete side there, measured directly.
+        "minhash_dup_pairs": """
+            WITH sets AS (
+                SELECT doc_id, list_distinct([substring(text, i, 8)
+                    FOR i IN generate_series(1, length(text)-7)]) AS sh
+                FROM documents
+            ), sh AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+            df AS (SELECT g, count(*) AS c FROM sh GROUP BY g),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS left_doc, b.doc_id AS right_doc
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                WHERE a.g IN (SELECT g FROM df WHERE c <= 10)
+            ), j AS (
+                SELECT c.left_doc, c.right_doc,
+                       ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                             GREATEST(len(sa.sh) + len(sb.sh)
+                                      - len(list_intersect(sa.sh, sb.sh)), 1),
+                             6) AS jaccard
+                FROM cand c JOIN sets sa ON sa.doc_id = c.left_doc
+                            JOIN sets sb ON sb.doc_id = c.right_doc
+            )
+            SELECT left_doc, right_doc, jaccard FROM j WHERE jaccard >= 0.5""",
         "group_mean_vectors": """
             WITH g AS (SELECT vec_id % 10 AS grp,
                               CAST(embedding AS DOUBLE[]) AS e
@@ -462,7 +510,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(r_at_k), 6) AS r_at_k,
                    CAST(COUNT(*) AS BIGINT) AS n_queries
             FROM perq""",
-        # minhash_dup_pairs / embedding_near_dups_lsh / ann_lsh_topk /
-        # ppr_copurchase / media_decode / linkage_parts: sketch-based,
-        # iterative, or binary-decode semantics — rows-only checks.
+        # the oracle emits the UNROUNDED double (both sides are identical
+        # IEEE doubles — exact integer sums / counts — and the harness
+        # rounds both the same way; a SQL-side ROUND would double-round)
+        "media_decode": """
+            WITH m AS (SELECT p_partkey AS media_id,
+                              8 + p_partkey % 25 AS w,
+                              8 + (p_partkey // 25) % 25 AS h
+                       FROM part WHERE p_partkey < 256),
+            cells AS (SELECT media_id, (media_id + i) % 256 AS v
+                      -- no lateral column args in generate_series: fixed
+                      -- series to the max w*h (32*32) then filter
+                      FROM m CROSS JOIN generate_series(0, 1023) t(i)
+                      WHERE i < w * h)
+            SELECT media_id, AVG(v) AS mean_intensity, 'ok' AS status
+            FROM cells GROUP BY media_id""",
+        # ann_lsh_topk / dfs_copurchase / ppr_copurchase / linkage_parts:
+        # approximate-recall, traversal-order, or iterative-scoring
+        # semantics — rows-only checks, each pinned by a dedicated pytest.
     }

@@ -117,6 +117,95 @@ def doc_fingerprint(sf_dir: str) -> Dataset:
 
 # ---------------------------------------------------------------- dedup family
 
+def _dedup_pairs(cand: Dataset, left_col: str, right_col: str,
+                 keep_cols: list[str], num_buckets: int = 64) -> Dataset:
+    """Exact (left, right) pair dedup via a bucketed shuffle — the same pair
+    can emerge from several bands/tables/shingles; bucket by symmetric pair
+    hash, drop duplicates per bucket."""
+
+    def pbucket(batch: pa.Table) -> pa.Table:
+        l = batch.column(left_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        r = batch.column(right_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (mix64(l ^ mix64(r, seed=3), seed=9) %
+             np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("pbucket", pa.array(b, pa.int32()))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates([left_col, right_col])[keep_cols]
+
+    return cand.map_batches(pbucket, batch_format="pyarrow") \
+        .groupby("pbucket").map_groups(dedup, batch_format="pandas")
+
+
+def exact_jaccard_filter(cand: Dataset, docs: Dataset, k: int,
+                         threshold: float) -> Dataset:
+    """(left_doc, right_doc) candidates -> pairs with EXACT char-k-shingle
+    Jaccard >= threshold (rounded 6dp, matching SQL ``ROUND``): join texts
+    back with the bucketed ``hash_join``, then one vectorized segment-sort
+    Jaccard per batch (the disposal kernel shared by the rare-shingle and
+    MinHash-LSH candidate generators)."""
+    from chameleon_entity_linking_ray.functions.hashing import flat_char_shingles
+    from chameleon_entity_linking_ray.stages.joins import hash_join
+
+    j = hash_join(cand, docs, on=("left_doc",), right_on=("doc_id",),
+                  join_type="inner")
+    j = hash_join(j, docs, on=("right_doc",), right_on=("doc_id",),
+                  join_type="inner", right_suffix="_r")
+
+    def exact(batch: pa.Table) -> pa.Table:
+        lt = batch.column("text").to_pylist()
+        rt = batch.column("text_r").to_pylist()
+        n = len(lt)
+        hl, ol = flat_char_shingles(lt, k)
+        hr, orr = flat_char_shingles(rt, k)
+        segl = np.repeat(np.arange(n, dtype=np.int64), np.diff(ol))
+        segr = np.repeat(np.arange(n, dtype=np.int64), np.diff(orr))
+        vl, sl = _seg_unique_pair(hl, segl)
+        vr, sr = _seg_unique_pair(hr, segr)
+        na = np.bincount(sl, minlength=n)
+        nb = np.bincount(sr, minlength=n)
+        # intersection: concat both unique sides, count duplicate
+        # (segment, value) occurrences
+        v = np.concatenate([vl, vr])
+        s = np.concatenate([sl, sr])
+        order = np.lexsort((v, s))
+        v, s = v[order], s[order]
+        dup = (v[1:] == v[:-1]) & (s[1:] == s[:-1]) if len(v) else np.zeros(0, bool)
+        inter = np.bincount(s[1:][dup], minlength=n)
+        union = np.maximum(na + nb - inter, 1)
+        out = inter / union
+        t = pa.table({"left_doc": batch.column("left_doc"),
+                      "right_doc": batch.column("right_doc"),
+                      "jaccard": pa.array(np.round(out, 6), pa.float64())})
+        return t.filter(pc.greater_equal(t.column("jaccard"), threshold))
+
+    return j.map_batches(exact, batch_format="pyarrow")
+
+
+@ray.remote
+def _assemble_matrix(*blocks) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_id array, L2-normalized float64 matrix) from embedding blocks —
+    runs in a WORKER task; the driver only ever holds the object ref."""
+    blocks = [b if isinstance(b, pa.Table) else
+              pa.Table.from_pandas(b, preserve_index=False) for b in blocks]
+    blocks = [b for b in blocks if "vec_id" in b.column_names]
+    if not blocks:
+        return np.empty(0, np.int64), np.empty((0, 0), np.float64)
+    t = pa.concat_tables(blocks)
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids, kind="mergesort")  # sorted ids -> searchsorted probes
+    return ids[order], mat[order]
+
+
+def broadcast_embedding_matrix(emb: Dataset):
+    """Object ref to (ids, normalized matrix), assembled from the dataset's
+    Arrow block refs INSIDE a task — the embedding table never materializes
+    on the driver (the broadcast-small-side pattern of ``semi_join_ds``)."""
+    return _assemble_matrix.remote(
+        *emb.select_columns(["vec_id", "embedding"]).to_arrow_refs())
+
 def dedup_exact(sf_dir: str) -> Dataset:
     """Exact dedup: hash-partition by text, keep min doc_id per text group
     (keep-first). One row per distinct text."""
@@ -138,34 +227,42 @@ def dedup_exact(sf_dir: str) -> Dataset:
         .groupby("__tbucket").map_groups(keep_first, batch_format="pandas")
 
 
-def minhash_dup_pairs(sf_dir: str, threshold: float = 0.7,
+def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5, k: int = 8,
+                      num_perm: int = 64, num_bands: int = 32,
                       config: LinkageConfig | None = None,
                       max_block: int = 64, window: int = 8) -> Dataset:
-    """MinHash+LSH near-duplicate candidate pairs over documents, verified
-    by signature-estimated Jaccard >= threshold. shingle -> minhash ->
-    band -> bucket-groupby -> per-bucket pair gen -> estimate filter.
+    """MinHash+LSH near-duplicate pairs over documents, disposed by EXACT
+    char-k-shingle Jaccard >= threshold (value-verifiable): shingle ->
+    minhash -> band -> bucket-groupby -> per-band pair gen -> cross-band
+    dedup -> exact-Jaccard filter (the shared segment-sort kernel).
+
+    Emitting the exact Jaccard (not the signature estimate) makes the
+    output a deterministic function of the input MODULO candidate recall,
+    so the DuckDB oracle can hash-match values. Band config is r=2 rows x
+    32 bands by default: P[miss] for a true pair at j=0.5 is
+    (1-0.25)^32 ~ 1e-4, and the synthetic corpus's near-dups all sit at
+    j>=0.9 (P[miss] ~ (1-0.81)^32 ~ 1e-23) — recall checked empirically
+    against brute force in tests. At 100 TB, tune bands/rows to the target
+    threshold; the dataflow is unchanged.
 
     Skew control as in stages/blocking.py: band blocks above ``max_block``
     members (low-information bands — everything collides) switch from
-    all-pairs to windowed pairing over id-sorted members. Signatures ride
-    the shuffle as packed binary (one buffer per row, zero object churn)."""
+    all-pairs to windowed pairing over id-sorted members."""
     from chameleon_entity_linking_ray.stages.blocking import _run_pairs
     c = config or LinkageConfig()
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"]).materialize()
 
     def band(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs = minhash_signatures(texts, c.shingle_k, c.num_perm, c.minhash_seed)
-        keys = lsh_band_keys(sigs, c.num_bands, c.minhash_seed)
+        sigs = minhash_signatures(texts, k, num_perm, c.minhash_seed)
+        keys = lsh_band_keys(sigs, num_bands, c.minhash_seed)
         n, bands = keys.shape
         rep = np.repeat(np.arange(n, dtype=np.int64), bands)
         flat = keys.reshape(-1)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[rep]
-        sig_bytes = [sigs[i].tobytes() for i in rep]
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "block_key": pa.array(flat.view(np.int64), pa.int64()),
-            "sig": pa.array(sig_bytes, pa.binary()),
             "bucket": pa.array((mix64(flat, seed=51) % np.uint64(64))
                                .astype(np.int32), pa.int32()),
         })
@@ -173,38 +270,21 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.7,
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["block_key", "doc_id"]) \
              .sort_values(["block_key", "doc_id"], kind="mergesort")
-        bk = g["block_key"].to_numpy()
         ids = g["doc_id"].to_numpy()
-        _, counts = np.unique(bk, return_counts=True)
+        _, counts = np.unique(g["block_key"].to_numpy(), return_counts=True)
         li, ri = _run_pairs(counts, window, max_block)
         if len(li) == 0:
             return pd.DataFrame({"left_doc": pd.Series(dtype=np.int64),
-                                 "right_doc": pd.Series(dtype=np.int64),
-                                 "est_jaccard": pd.Series(dtype=np.float64)})
-        sigs = np.frombuffer(b"".join(g["sig"].to_numpy()),
-                             dtype=np.uint64).reshape(len(g), c.num_perm)
-        est = (sigs[li] == sigs[ri]).mean(axis=1)
-        keep = est >= threshold
-        out = pd.DataFrame({"left_doc": ids[li][keep], "right_doc": ids[ri][keep],
-                            "est_jaccard": np.round(est[keep], 6)})
-        return out.drop_duplicates(["left_doc", "right_doc"])
+                                 "right_doc": pd.Series(dtype=np.int64)})
+        out = pd.DataFrame({"left_doc": np.minimum(ids[li], ids[ri]),
+                            "right_doc": np.maximum(ids[li], ids[ri])})
+        return out.drop_duplicates()
 
     cand = docs.map_batches(band, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
-
-    # cross-bucket dedup (same pair can fire in several bands)
-    def pbucket(batch: pa.Table) -> pa.Table:
-        l = batch.column("left_doc").to_numpy(zero_copy_only=False).astype(np.uint64)
-        r = batch.column("right_doc").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = (mix64(l ^ mix64(r, seed=3), seed=9) % np.uint64(64)).astype(np.int32)
-        return batch.append_column("pbucket", pa.array(b, pa.int32()))
-
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["left_doc", "right_doc"])[
-            ["left_doc", "right_doc", "est_jaccard"]]
-
-    return cand.map_batches(pbucket, batch_format="pyarrow") \
-        .groupby("pbucket").map_groups(dedup, batch_format="pandas")
+    cand = _dedup_pairs(cand, "left_doc", "right_doc",
+                        ["left_doc", "right_doc"])
+    return exact_jaccard_filter(cand, docs, k, threshold)
 
 
 def simhash_docs(sf_dir: str, config: LinkageConfig | None = None) -> Dataset:
@@ -283,7 +363,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 8,
     exactly (``flat_char_shingles``: char-based, no padding)."""
     from chameleon_entity_linking_ray.functions.hashing import flat_char_shingles
     from chameleon_entity_linking_ray.stages.blocking import _run_pairs
-    from chameleon_entity_linking_ray.stages.joins import hash_join, semi_join_ds
+    from chameleon_entity_linking_ray.stages.joins import semi_join_ds
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
 
@@ -322,56 +402,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, k: int = 8,
 
     cand = rare_sh.map_batches(add_hbucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
-
-    def pbucket(batch: pa.Table) -> pa.Table:
-        l = batch.column("left_doc").to_numpy(zero_copy_only=False).astype(np.uint64)
-        r = batch.column("right_doc").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = (mix64(l ^ mix64(r, seed=3), seed=9) % np.uint64(64)).astype(np.int32)
-        return batch.append_column("pbucket", pa.array(b, pa.int32()))
-
-    def pdedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["left_doc", "right_doc"])[
-            ["left_doc", "right_doc"]]
-
-    cand = cand.map_batches(pbucket, batch_format="pyarrow") \
-        .groupby("pbucket").map_groups(pdedup, batch_format="pandas")
-
-    j = hash_join(cand, docs, on=("left_doc",), right_on=("doc_id",),
-                  join_type="inner")
-    j = hash_join(j, docs, on=("right_doc",), right_on=("doc_id",),
-                  join_type="inner", right_suffix="_r")
-
-    def exact(batch: pa.Table) -> pa.Table:
-        lt = batch.column("text").to_pylist()
-        rt = batch.column("text_r").to_pylist()
-        n = len(lt)
-        # hash all shingles of the whole batch in two vectorized passes,
-        # then set sizes/intersections via segment-sorted counting — the
-        # whole batch is one lexsort, no per-row Python
-        hl, ol = flat_char_shingles(lt, k)
-        hr, orr = flat_char_shingles(rt, k)
-        segl = np.repeat(np.arange(n, dtype=np.int64), np.diff(ol))
-        segr = np.repeat(np.arange(n, dtype=np.int64), np.diff(orr))
-        vl, sl = _seg_unique_pair(hl, segl)
-        vr, sr = _seg_unique_pair(hr, segr)
-        na = np.bincount(sl, minlength=n)
-        nb = np.bincount(sr, minlength=n)
-        # intersection: concat both unique sides, count duplicate
-        # (segment, value) occurrences
-        v = np.concatenate([vl, vr])
-        s = np.concatenate([sl, sr])
-        order = np.lexsort((v, s))
-        v, s = v[order], s[order]
-        dup = (v[1:] == v[:-1]) & (s[1:] == s[:-1]) if len(v) else np.zeros(0, bool)
-        inter = np.bincount(s[1:][dup], minlength=n)
-        union = np.maximum(na + nb - inter, 1)
-        out = inter / union
-        t = pa.table({"left_doc": batch.column("left_doc"),
-                      "right_doc": batch.column("right_doc"),
-                      "jaccard": pa.array(np.round(out, 6), pa.float64())})
-        return t.filter(pc.greater_equal(t.column("jaccard"), threshold))
-
-    return j.map_batches(exact, batch_format="pyarrow")
+    cand = _dedup_pairs(cand, "left_doc", "right_doc",
+                        ["left_doc", "right_doc"])
+    return exact_jaccard_filter(cand, docs, k, threshold)
 
 
 # ---------------------------------------------------------------- similarity search
@@ -489,13 +522,11 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> Dataset:
     DuckDB oracle verifies value-for-value. O(n^2/B) per block: right for
     corpora whose embedding table fits the object store; the 100 TB path
     is ``embedding_near_dups_lsh`` (hyperplane-bucketed, same output
-    contract, recall approximate)."""
-    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    edf = emb.to_pandas()
-    ids_all = edf["vec_id"].to_numpy(np.int64)
-    mat_all = np.stack(edf["embedding"].to_numpy()).astype(np.float64)
-    mat_all /= np.maximum(np.linalg.norm(mat_all, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids_all, mat_all))
+    contract)."""
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    # (ids, matrix) assembled in a worker task from block refs — never a
+    # driver-side to_pandas of the embedding table
+    ref = broadcast_embedding_matrix(emb)
 
     def block_pairs(batch: pa.Table) -> pa.Table:
         aids, amat = ray.get(ref)  # zero-copy shared-memory read per task
@@ -517,55 +548,79 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> Dataset:
 
 
 def embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35,
-                            max_bucket: int = 4096) -> Dataset:
-    """Embedding-cosine near-dup pairs: all-pairs within LSH buckets
-    (blocked, not O(n^2) global); a HOT bucket above ``max_bucket``
-    members falls back to windowed pairing over id-sorted members (cap
-    n*W instead of n^2/2 — same skew policy as the blocking stage).
-    Emits pairs with cosine >= threshold."""
-    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+                            n_tables: int = 128, n_planes: int = 4,
+                            seed: int = 11, max_bucket: int = 4096) -> Dataset:
+    """Embedding-cosine near-dup pairs via MULTI-TABLE random-hyperplane
+    LSH: ``n_tables`` independent tables of ``n_planes`` hyperplanes each;
+    a pair becomes a candidate if it collides in ANY table; candidates are
+    deduped and disposed by exact cosine against the broadcast matrix
+    (same output contract and threshold as ``embedding_near_dups``, so the
+    brute-force DuckDB oracle hash-matches values MODULO recall).
 
-    rng = np.random.RandomState(11)
-    planes_ref = {"planes": None}
+    Recall math (checked empirically in tests): at the worst-case cosine
+    0.35, per-plane collision p = 1 - acos(0.35)/pi = 0.614, per-table
+    p^4 = 0.142, so P[miss] = (1-0.142)^128 ~ 3e-9. At 100 TB raise
+    ``n_planes`` (smaller buckets) and accept recall < 1, or keep the
+    table count and pay more candidate volume — the dataflow is unchanged.
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
+    A HOT bucket above ``max_bucket`` members falls back to windowed
+    pairing over id-sorted members (cap n*W instead of n^2/2 — the
+    blocking stage's skew policy)."""
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    mat_ref = broadcast_embedding_matrix(emb)
+
+    # buckets ride as (vec_id, table*2^planes + bits) — embeddings do NOT
+    # ride the n_tables-x shuffle; the exact-cosine stage reads the
+    # broadcast matrix instead
+    def add_buckets(batch: pa.Table) -> pa.Table:
         mat = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        if planes_ref["planes"] is None:
-            planes_ref["planes"] = np.random.RandomState(11).randn(6, mat.shape[1])
-        sig = (mat @ planes_ref["planes"].T > 0).astype(np.uint64)
-        bucket = (sig << np.arange(sig.shape[1], dtype=np.uint64)).sum(axis=1)
+        planes = np.random.RandomState(seed).randn(n_tables * n_planes,
+                                                   mat.shape[1])
+        bits = (mat @ planes.T > 0).reshape(len(mat), n_tables, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        bucket = (bits * weights).sum(axis=2) + \
+            (np.arange(n_tables, dtype=np.int64) << n_planes)  # [n, T]
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        rep = np.repeat(ids, n_tables)
         return pa.table({
-            "vec_id": batch.column("vec_id"),
-            "embedding": batch.column("embedding"),
-            "bucket": pa.array(bucket.astype(np.int32), pa.int32()),
+            "vec_id": pa.array(rep, pa.int64()),
+            "bucket": pa.array(bucket.reshape(-1), pa.int64()),
+            "gbucket": pa.array((mix64(bucket.reshape(-1).astype(np.uint64),
+                                       seed=63) % np.uint64(64))
+                                .astype(np.int32), pa.int32()),
         })
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id", kind="mergesort")
-        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        from chameleon_entity_linking_ray.stages.blocking import _run_pairs
+        g = g.drop_duplicates(["bucket", "vec_id"]) \
+             .sort_values(["bucket", "vec_id"], kind="mergesort")
         ids = g["vec_id"].to_numpy()
-        n = len(ids)
-        if n <= max_bucket:
-            iu, ju = np.triu_indices(n, k=1)
-        else:  # hot bucket: windowed pairing, n*W not n^2/2
-            window = 64
-            iu = np.repeat(np.arange(n), np.minimum(n - 1 - np.arange(n),
-                                                    window))
-            seg = np.zeros(n, np.int64)
-            np.cumsum(np.minimum(n - 1 - np.arange(n), window)[:-1],
-                      out=seg[1:])
-            ju = np.arange(len(iu), dtype=np.int64) - seg[iu] + iu + 1
-        sims = np.einsum("ij,ij->i", mat[iu], mat[ju])
-        keep = sims >= threshold
-        lo = np.minimum(ids[iu][keep], ids[ju][keep])
-        hi = np.maximum(ids[iu][keep], ids[ju][keep])
-        return pd.DataFrame({"left_vec": lo, "right_vec": hi,
-                             "cosine": np.round(sims[keep], 6)})
+        _, counts = np.unique(g["bucket"].to_numpy(), return_counts=True)
+        li, ri = _run_pairs(counts, window=64, max_block=max_bucket)
+        if len(li) == 0:
+            return pd.DataFrame({"left_vec": pd.Series(dtype=np.int64),
+                                 "right_vec": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"left_vec": np.minimum(ids[li], ids[ri]),
+                             "right_vec": np.maximum(ids[li], ids[ri])}) \
+            .drop_duplicates()
 
-    return emb.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    cand = emb.map_batches(add_buckets, batch_format="pyarrow") \
+        .groupby("gbucket").map_groups(pairs, batch_format="pandas")
+    cand = _dedup_pairs(cand, "left_vec", "right_vec",
+                        ["left_vec", "right_vec"])
+
+    def exact_cosine(batch: pa.Table) -> pa.Table:
+        ids, mat = ray.get(mat_ref)  # ids sorted by _assemble_matrix
+        li = np.searchsorted(ids, batch.column("left_vec")
+                             .to_numpy(zero_copy_only=False))
+        ri = np.searchsorted(ids, batch.column("right_vec")
+                             .to_numpy(zero_copy_only=False))
+        sims = np.round(np.einsum("ij,ij->i", mat[li], mat[ri]), 6)
+        t = batch.append_column("cosine", pa.array(sims, pa.float64()))
+        return t.filter(pc.greater_equal(t.column("cosine"), threshold))
+
+    return cand.map_batches(exact_cosine, batch_format="pyarrow")
 
 
 def group_mean_vectors(sf_dir: str, n_groups: int = 10) -> Dataset:

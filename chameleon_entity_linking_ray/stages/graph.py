@@ -323,6 +323,26 @@ def personalized_pagerank(edges: Dataset, seeds: list[int], alpha: float = 0.85,
         batch_format="pyarrow")
 
 
+@ray.remote
+def _build_csr(*blocks) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(sorted src keys, CSR bounds, dst array) from edge blocks — runs in
+    a worker, so the adjacency never materializes on the driver."""
+    blocks = [b if isinstance(b, pa.Table) else
+              pa.Table.from_pandas(b, preserve_index=False) for b in blocks]
+    blocks = [b for b in blocks if "src" in b.column_names]
+    if blocks:
+        tbl = pa.concat_tables(blocks)
+        src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        src = dst = np.empty(0, np.int64)
+    order = np.lexsort((dst, src))
+    src_s, dst_s = src[order], dst[order]
+    keys, starts = np.unique(src_s, return_index=True)
+    bounds = np.r_[starts, len(src_s)]
+    return keys, bounds, dst_s
+
+
 def expand_per_seed(edges: Dataset, seeds: list[int], k: int = 20,
                     mode: str = "dfs") -> Dataset:
     """Per-seed k-NODE-limited DFS/BFS — the reference's ``dfs``/``bfs``
@@ -339,21 +359,10 @@ def expand_per_seed(edges: Dataset, seeds: list[int], k: int = 20,
     order; the reference extends a Python ``set`` whose iteration order is
     implementation-defined. Returns (seed, node, visit_order)."""
     edges = _normalize_blocks(edges)
-    # CSR adjacency from edge blocks (zero-copy arrow refs -> numpy)
-    blocks = [ray.get(r) for r in edges.to_arrow_refs()]
-    blocks = [b if isinstance(b, pa.Table) else
-              pa.Table.from_pandas(b, preserve_index=False) for b in blocks]
-    if blocks:
-        tbl = pa.concat_tables(blocks)
-        src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-    else:
-        src = dst = np.empty(0, np.int64)
-    order = np.lexsort((dst, src))
-    src_s, dst_s = src[order], dst[order]
-    keys, starts = np.unique(src_s, return_index=True)
-    bounds = np.r_[starts, len(src_s)]
-    adj_ref = ray.put((keys, bounds, dst_s))
+    # CSR adjacency built INSIDE a Ray task from the edge block refs — the
+    # blocks never round-trip through the driver heap; the task's return
+    # ref is the broadcast handle every walker reads.
+    adj_ref = _build_csr.remote(*edges.to_arrow_refs())
 
     seeds_ds = _nodes_table(list(seeds))
 
@@ -456,9 +465,19 @@ def dfs_copurchase(sf_dir: str, seed_part: int = 0, k: int = 20) -> Dataset:
 
 def ppr_copurchase(sf_dir: str, seed_part: int = 0) -> Dataset:
     """Personalized PageRank over the co-purchase graph, top-20 by rank
-    (rank values rounded; rows-only check — iterative, not SQL)."""
+    with the SEED EXCLUDED (rank values rounded; rows-only check —
+    iterative, not SQL).
+
+    Seed exclusion mirrors the reference's intent at
+    /root/reference/utils/entity_expander.py:125: it takes the top
+    ``number+1`` by rank and drops one — under personalization the seed
+    holds the top rank, so the honest deterministic reading is "top k
+    excluding the seed" (the reference's ``argpartition[...][:-1]``
+    actually drops an ARBITRARY member of the unordered top block; pinned
+    by a pytest against dense-numpy argpartition semantics)."""
     ranks = personalized_pagerank(copurchase_edges(sf_dir), [seed_part],
                                   alpha=0.85, iters=15)
+    ranks = ranks.filter(expr=f"node != {int(seed_part)}")
 
     def shape(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

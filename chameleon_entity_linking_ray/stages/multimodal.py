@@ -185,6 +185,35 @@ def synth_media(n: int, seed: int = 7, kind: str = "image") -> pa.Table:
     })
 
 
+def formula_pixels(key: int, w: int, h: int) -> np.ndarray:
+    """Closed-form grayscale image for key-derived media: pixel at
+    row-major position i is ``(key + i) % 256``. The decoded mean is then
+    SQL-derivable (``AVG((key + i) % 256)`` over ``generate_series``), so
+    an encode->decode round trip is value-verifiable cross-engine."""
+    return ((key + np.arange(h * w, dtype=np.int64)) % 256) \
+        .astype(np.uint8).reshape(h, w)
+
+
+def media_from_keys(batch: pa.Table, key_col: str = "p_partkey") -> pa.Table:
+    """Key table -> MEDIA_SCHEMA rows with formulaic BMP payloads:
+    w = 8 + key % 25, h = 8 + (key // 25) % 25, pixels = formula_pixels."""
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ws = (8 + keys % 25).astype(np.int32)
+    hs = (8 + (keys // 25) % 25).astype(np.int32)
+    payloads = [encode_bmp(formula_pixels(int(k), int(w), int(h)))
+                for k, w, h in zip(keys, ws, hs)]
+    n = len(keys)
+    return pa.table({
+        "media_id": pa.array(keys, pa.int64()),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["image/bmp"] * n, pa.string()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "duration_ms": pa.array(np.full(n, -1, np.int32), pa.int32()),
+    })
+
+
 def _fake_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
     """Deterministic pixel fake: payload bytes tiled to (h, w) uint8."""
     raw = np.frombuffer(payload, dtype=np.uint8)
@@ -225,7 +254,9 @@ class MediaDecoder:
         ws = batch.column("width").to_numpy(zero_copy_only=False)
         hs = batch.column("height").to_numpy(zero_copy_only=False)
         feats = np.zeros((len(payloads), self.feature_dim), dtype=np.float32)
-        means = np.zeros(len(payloads), dtype=np.float32)
+        # float64: the decoded mean is compared at 6dp against a DOUBLE SQL
+        # oracle — float32 has only ~1e-5 resolution at intensity 128
+        means = np.zeros(len(payloads), dtype=np.float64)
         status = []
         for i, p in enumerate(payloads):
             try:
@@ -238,7 +269,7 @@ class MediaDecoder:
                 status.append(f"decode_error: {type(exc).__name__}")
         return pa.table({
             "media_id": batch.column("media_id"),
-            "mean_intensity": pa.array(means, pa.float32()),
+            "mean_intensity": pa.array(means, pa.float64()),
             "feature": pa.array(list(feats), pa.list_(pa.float32(),
                                                       self.feature_dim)),
             "status": pa.array(status, pa.string()),
