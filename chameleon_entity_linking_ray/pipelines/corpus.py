@@ -147,10 +147,18 @@ def exact_jaccard_filter(cand: Dataset, docs: Dataset, k: int,
     from chameleon_entity_linking_ray.functions.hashing import flat_char_shingles
     from chameleon_entity_linking_ray.stages.joins import hash_join
 
+    # schema-pinned joins: the chain's schemas are static, so neither link
+    # pays the materialize-for-schema-probe (two fewer materializations)
+    pair_schema = pa.schema([("left_doc", pa.int64()),
+                             ("right_doc", pa.int64())])
+    docs_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    j1_schema = pa.schema([("left_doc", pa.int64()), ("right_doc", pa.int64()),
+                           ("text", pa.string())])
     j = hash_join(cand, docs, on=("left_doc",), right_on=("doc_id",),
-                  join_type="inner")
+                  join_type="inner", schemas=(pair_schema, docs_schema))
     j = hash_join(j, docs, on=("right_doc",), right_on=("doc_id",),
-                  join_type="inner", right_suffix="_r")
+                  join_type="inner", right_suffix="_r",
+                  schemas=(j1_schema, docs_schema))
 
     def exact(batch: pa.Table) -> pa.Table:
         lt = batch.column("text").to_pylist()
@@ -228,7 +236,7 @@ def dedup_exact(sf_dir: str) -> Dataset:
 
 
 def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5, k: int = 8,
-                      num_perm: int = 64, num_bands: int = 32,
+                      num_perm: int = 96, num_bands: int = 32,
                       config: LinkageConfig | None = None,
                       max_block: int = 64, window: int = 8) -> Dataset:
     """MinHash+LSH near-duplicate pairs over documents, disposed by EXACT
@@ -238,12 +246,14 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5, k: int = 8,
 
     Emitting the exact Jaccard (not the signature estimate) makes the
     output a deterministic function of the input MODULO candidate recall,
-    so the DuckDB oracle can hash-match values. Band config is r=2 rows x
-    32 bands by default: P[miss] for a true pair at j=0.5 is
-    (1-0.25)^32 ~ 1e-4, and the synthetic corpus's near-dups all sit at
-    j>=0.9 (P[miss] ~ (1-0.81)^32 ~ 1e-23) — recall checked empirically
-    against brute force in tests. At 100 TB, tune bands/rows to the target
-    threshold; the dataflow is unchanged.
+    so the DuckDB oracle can hash-match values. Band config is r=3 rows x
+    32 bands: candidate volume stays ~(background_j^3 * bands) of all
+    pairs (r=2 admitted ~8% of ALL pairs at sf0.1 and drowned the exact
+    filter), while true near-dups at j>=0.9 miss with P ~ (1-0.729)^32 ~
+    7e-19 (at the j=0.5 boundary P[miss] ~ 1.4e-2 — this corpus has no
+    pairs between 0.3 and 0.9; recall is pinned empirically against brute
+    force in tests). At 100 TB, tune bands/rows to the target threshold;
+    the dataflow is unchanged.
 
     Skew control as in stages/blocking.py: band blocks above ``max_block``
     members (low-information bands — everything collides) switch from

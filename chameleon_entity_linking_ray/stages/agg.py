@@ -85,14 +85,22 @@ def distinct(ds: Dataset, keys: list[str], num_buckets: int = 32) -> Dataset:
 
 
 def mean_pool_vectors(ds: Dataset, group_col: str, vec_col: str,
-                      num_buckets: int = 16, round_to: int = 6) -> Dataset:
+                      num_buckets: int = 16, round_to: int = 6,
+                      all_groups: Dataset | None = None,
+                      dim: int | None = None) -> Dataset:
     """Grouped element-wise mean of ``list<float>`` vectors — the engine
     form of the reference's per-doc entity-vector mean pool
     (/root/reference/BiEncoder/test_wikipedia2vec.py:56-67), combiner
     style: each block pre-aggregates (group, pos) partial sums + counts
     (one ``np.add.at`` scatter per block), the bucketed combine sums the
     partials, and the mean divides once. Emits LONG format
-    (group, pos, mean_v) so results are scalar-comparable cross-engine."""
+    (group, pos, mean_v) so results are scalar-comparable cross-engine.
+
+    ``all_groups`` (a Dataset with ``group_col``): groups present there
+    but with NO vector rows in ``ds`` emit a ZERO vector — the reference's
+    zeros fallback for docs whose entities resolve to no embedding
+    (/root/reference/BiEncoder/test_wikipedia2vec.py:63-67). ``dim`` pins
+    the vector width for that case (required if ``ds`` can be empty)."""
 
     _partial_schema = pa.schema([(group_col, pa.int64()), ("pos", pa.int64()),
                                  ("s", pa.float64()), ("n", pa.int64())])
@@ -126,7 +134,31 @@ def mean_pool_vectors(ds: Dataset, group_col: str, vec_col: str,
                                  np.maximum(df["n"].to_numpy(), 1), round_to)
         return out
 
-    return summed.map_batches(mean, batch_format="pandas")
+    pooled = summed.map_batches(mean, batch_format="pandas")
+    if all_groups is None:
+        return pooled
+
+    from chameleon_entity_linking_ray.stages.joins import semi_join_ds
+    pooled = pooled.materialize()  # consumed by the anti-join AND the union
+    if dim is None:
+        if pooled.count() == 0:
+            raise ValueError("cannot infer vector dim from an empty input; "
+                             "pass dim= explicitly")
+        dim = int(pooled.max("pos")) + 1
+
+    missing = semi_join_ds(all_groups.select_columns([group_col]), pooled,
+                           group_col, anti=True)
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            group_col: pa.array(np.repeat(g, dim), pa.int64()),
+            "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(g)),
+                            pa.int64()),
+            "mean_v": pa.array(np.zeros(len(g) * dim), pa.float64()),
+        })
+
+    return pooled.union(missing.map_batches(zero_rows, batch_format="pyarrow"))
 
 
 def top_k(ds: Dataset, by: list[str], ascending: list[bool], k: int) -> Dataset:

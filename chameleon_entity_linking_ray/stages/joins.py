@@ -46,7 +46,8 @@ def _key_hash(tbl: pa.Table, cols: tuple[str, ...]) -> np.ndarray:
 def hash_join(left: Dataset, right: Dataset, on: tuple[str, ...],
               join_type: str = "inner", num_partitions: int = 32,
               right_on: tuple[str, ...] | None = None,
-              left_suffix: str = "", right_suffix: str = "_r") -> Dataset:
+              left_suffix: str = "", right_suffix: str = "_r",
+              schemas: tuple[pa.Schema, pa.Schema] | None = None) -> Dataset:
     """Hash-bucketed distributed equi-join (both sides large).
 
     Both sides are tagged and bucketed by key hash, unioned under one
@@ -54,16 +55,25 @@ def hash_join(left: Dataset, right: Dataset, on: tuple[str, ...],
     ``groupby(bucket)``, and merged per bucket with a vectorized
     ``pd.merge``. Output schema is pinned so empty buckets / all-null fill
     columns can never change dtypes between runs.
+
+    ``schemas=(left_schema, right_schema)``: caller-supplied Arrow schemas
+    skip the materialize-before-schema-probe below — join CHAINS pay the
+    probe/materialize once per link otherwise (measured on the exact-
+    Jaccard pipelines, which join candidate pairs to texts twice).
     """
     on = tuple(on)
     right_on = tuple(right_on) if right_on else on
-    # pin both sides before asking for schemas: .schema() on a lazy dataset
-    # executes its upstream just to peek one block and then throws the work
-    # away, so a chain of joins would re-run every producer once per peek.
-    # A hash join consumes both sides fully anyway; materializing here
-    # costs nothing extra and makes the schema probes free.
-    left, right = left.materialize(), right.materialize()
-    lschema, rschema = left.schema(), right.schema()
+    if schemas is None:
+        # pin both sides before asking for schemas: .schema() on a lazy
+        # dataset executes its upstream just to peek one block and then
+        # throws the work away, so a chain of joins would re-run every
+        # producer once per peek. A hash join consumes both sides fully
+        # anyway; materializing here costs nothing extra and makes the
+        # schema probes free.
+        left, right = left.materialize(), right.materialize()
+        lschema, rschema = left.schema(), right.schema()
+    else:
+        lschema, rschema = schemas
     lnames = list(lschema.names)
 
     # right value columns (join keys excluded), renamed on collision

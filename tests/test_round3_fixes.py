@@ -82,6 +82,182 @@ class TestEmptyBlocks:
         assert out["mean_v"].tolist() == [2.0, 4.0]
 
 
+SF = "/root/testdata/sf0.001"
+
+
+class TestLshRecall:
+    def test_minhash_equals_bruteforce_above_threshold(self):
+        """LSH candidates + exact-Jaccard disposal == brute-force exact
+        pairs at j>=0.5 (full recall on this corpus — the property the
+        value oracle relies on)."""
+        import duckdb
+        from chameleon_entity_linking_ray.pipelines.corpus import (
+            minhash_dup_pairs,
+        )
+        got = minhash_dup_pairs(SF).to_pandas() \
+            .sort_values(["left_doc", "right_doc"]).reset_index(drop=True)
+        gold = duckdb.sql(f"""
+            WITH sets AS (SELECT doc_id, list_distinct([substring(text, i, 8)
+                    FOR i IN generate_series(1, length(text)-7)]) sh
+                FROM '{SF}/documents.parquet'),
+            p AS (SELECT a.doc_id left_doc, b.doc_id right_doc,
+                   ROUND(len(list_intersect(a.sh,b.sh))::DOUBLE /
+                     GREATEST(len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh)),1),
+                     6) jaccard
+                  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+            SELECT * FROM p WHERE jaccard >= 0.5
+            ORDER BY left_doc, right_doc""").df()
+        assert got["left_doc"].tolist() == gold["left_doc"].tolist()
+        assert got["right_doc"].tolist() == gold["right_doc"].tolist()
+        assert np.allclose(got["jaccard"], gold["jaccard"], atol=1e-9)
+
+    def test_embedding_lsh_equals_exact(self):
+        from chameleon_entity_linking_ray.pipelines.corpus import (
+            embedding_near_dups,
+            embedding_near_dups_lsh,
+        )
+        exact = embedding_near_dups(SF).to_pandas() \
+            .sort_values(["left_vec", "right_vec"]).reset_index(drop=True)
+        lsh = embedding_near_dups_lsh(SF).to_pandas() \
+            .sort_values(["left_vec", "right_vec"]).reset_index(drop=True)
+        assert exact[["left_vec", "right_vec"]].equals(
+            lsh[["left_vec", "right_vec"]])
+        assert np.allclose(exact["cosine"], lsh["cosine"], atol=1e-9)
+
+
+class TestMediaFormula:
+    def test_decoded_mean_matches_closed_form(self):
+        """encode->decode round trip: decoded mean equals the closed-form
+        pixel mean computed WITHOUT the codec (what the SQL oracle does)."""
+        import ray.data as rd2
+        from chameleon_entity_linking_ray.stages.multimodal import (
+            decode_media,
+            media_from_keys,
+        )
+        keys = pa.table({"p_partkey": pa.array([1, 26, 260, 999], pa.int64())})
+        out = decode_media(rd2.from_arrow(media_from_keys(keys)),
+                           feature_dim=8).to_pandas() \
+            .sort_values("media_id").reset_index(drop=True)
+        assert (out["status"] == "ok").all()
+        for _, row in out.iterrows():
+            k = int(row["media_id"])
+            w, h = 8 + k % 25, 8 + (k // 25) % 25
+            want = float(np.mean((k + np.arange(w * h)) % 256))
+            assert row["mean_intensity"] == want, k
+
+
+class TestPprSeedExclusion:
+    def test_matches_reference_argpartition_intent(self):
+        """ppr top-k excludes the seed — the deterministic reading of the
+        reference's argpartition[-(k+1):][:-1] (entity_expander.py:125):
+        top k+1 by rank minus the seed (which personalization puts on top)."""
+        import ray.data as rd2
+        from chameleon_entity_linking_ray.stages.graph import (
+            personalized_pagerank,
+        )
+        rng = np.random.RandomState(12)
+        edges = {(int(a), int(b)) for a, b in rng.randint(0, 15, (50, 2))
+                 if a != b}
+        ds = rd2.from_items([{"src": a, "dst": b} for a, b in edges])
+        k = 5
+        ranks = personalized_pagerank(ds, [0], alpha=0.85, iters=15) \
+            .to_pandas()
+        got = set(ranks[ranks["node"] != 0]
+                  .sort_values(["rank", "node"], ascending=[False, True])
+                  .head(k)["node"])
+
+        # dense reference semantics
+        nodes = sorted({x for e in edges for x in e})
+        idx = {x: i for i, x in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for a, b in edges:
+            A[idx[b], idx[a]] = 1.0
+        deg = A.sum(axis=0)
+        restart = np.zeros(len(nodes))
+        restart[idx[0]] = 1.0
+        r = restart.copy()
+        for _ in range(15):
+            share = np.divide(r, deg, out=np.zeros_like(r), where=deg > 0)
+            r = 0.85 * (A @ share + r[deg == 0].sum() * restart) + 0.15 * restart
+        top_kp1 = set(np.argpartition(r, -(k + 1))[-(k + 1):])
+        assert idx[0] in top_kp1, "seed must rank in top k+1 for the test"
+        want = {nodes[i] for i in top_kp1} - {0}
+        assert got == want
+
+
+class TestNoDriverMaterializationCorpus:
+    def test_expand_per_seed_and_near_dups_stay_off_driver(self, monkeypatch):
+        """Regression for the two round-2 driver-materialization paths:
+        expand_per_seed's CSR and embedding_near_dups' broadcast matrix are
+        now assembled in worker tasks; with Dataset.to_pandas patched to
+        raise, both pipelines must still run."""
+        import ray.data as rdm
+        from chameleon_entity_linking_ray.pipelines.corpus import (
+            embedding_near_dups,
+        )
+        from chameleon_entity_linking_ray.stages.graph import expand_per_seed
+
+        real = rdm.Dataset.to_pandas
+
+        def boom(*a, **k):
+            raise AssertionError("driver-side to_pandas in pipeline")
+
+        with monkeypatch.context() as m:
+            m.setattr(rdm.Dataset, "to_pandas", boom)
+            ds = rdm.from_items([{"src": 0, "dst": 1}, {"src": 1, "dst": 2},
+                                 {"src": 2, "dst": 0}])
+            walked = expand_per_seed(ds, [0], k=3, mode="dfs").materialize()
+            nd = embedding_near_dups(SF).materialize()
+        wdf = real(walked)
+        assert sorted(wdf["node"].tolist()) == [1, 2]  # both non-seed nodes
+        assert len(real(nd)) > 0
+
+
+class TestMeanPoolZerosFallback:
+    def test_groups_without_vectors_emit_zero_vector(self):
+        import ray.data as rd2
+        from chameleon_entity_linking_ray.stages.agg import mean_pool_vectors
+        vecs = rd2.from_arrow(pa.table({
+            "g": pa.array([1, 1], pa.int64()),
+            "v": [[2.0, 4.0], [4.0, 8.0]]}))
+        groups = rd2.from_arrow(pa.table({"g": pa.array([1, 2, 3], pa.int64())}))
+        out = mean_pool_vectors(vecs, "g", "v", all_groups=groups) \
+            .to_pandas().sort_values(["g", "pos"]).reset_index(drop=True)
+        assert out[out["g"] == 1]["mean_v"].tolist() == [3.0, 6.0]
+        assert out[out["g"] == 2]["mean_v"].tolist() == [0.0, 0.0]
+        assert out[out["g"] == 3]["mean_v"].tolist() == [0.0, 0.0]
+
+
+class TestRealModelContract:
+    def test_hf_tokenizer_actor_protocol(self):
+        """Pins the M6/T1 real-model actor contract beyond the CPU analog
+        (/root/reference/BiEncoder/model.py:68-166): a scorer-shaped actor
+        whose __init__ loads an HF tokenizer once and whose __call__
+        tokenizes an Arrow batch. Skips when transformers/weights are
+        unavailable (this container is offline)."""
+        transformers = pytest.importorskip("transformers")
+        try:
+            tok = transformers.AutoTokenizer.from_pretrained(
+                "bert-base-uncased")
+        except Exception:
+            pytest.skip("no local HF weights / offline")
+
+        class TokenizeStage:
+            def __init__(self):
+                self.tok = tok
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                enc = self.tok(batch.column("text").to_pylist(),
+                               truncation=True, max_length=32)
+                n = [len(x) for x in enc["input_ids"]]
+                return batch.append_column("n_wordpieces",
+                                           pa.array(n, pa.int64()))
+
+        stage = TokenizeStage()
+        out = stage(pa.table({"text": ["hello world", "entity linking"]}))
+        assert out.column("n_wordpieces").to_pylist()[0] > 2
+
+
 class TestScoreCacheParity:
     def test_batch_bit_equal_to_scalar_float64(self):
         pairs = [("wayne", "wbyne"), ("ind", "industries"),
