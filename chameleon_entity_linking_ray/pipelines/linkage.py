@@ -269,14 +269,27 @@ def assign_clusters(mentions: Dataset, assignments: Dataset,
 
 
 def annotate_transcripts(transcripts: Dataset, clustered: Dataset,
-                         config: LinkageConfig | None = None) -> Dataset:
+                         config: LinkageConfig | None = None,
+                         order: str = "auto") -> Dataset:
     """Turn-level output: every input turn, text byte-identical, plus typed
     ``entities: list<struct<start,end,surface,cluster_id>>`` — the engine's
     run-file analog (/root/reference/BiEncoder/test.py:128-132) satisfying
     the north-rule per-row invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering.
+
+    ``order`` mirrors the flagship contract: under ``"partitioned"`` (or
+    ``"auto"`` with the range-partition contract validated on the INPUT
+    transcripts) the collapse groups by RANGE bucket — one bucket per
+    input block's conv range, assigned by searchsorted against the block
+    boundary keys — so the groupby's own sort-shuffle emits buckets in
+    conv order and the trailing global ``Dataset.sort`` disappears (two
+    exchanges instead of three). ``"global"`` keeps the hash-bucket
+    collapse + global sort for interleaved inputs.
     """
     config = config or LinkageConfig()
+    if order == "auto":
+        order = "partitioned" if blocks_range_partitioned(
+            transcripts, ["conv_id", "turn_idx"]) else "global"
 
     def shrink(batch: pa.Table) -> pa.Table:
         return batch.select(["conv_id", "turn_idx", "span_start", "span_end",
@@ -311,10 +324,41 @@ def annotate_transcripts(transcripts: Dataset, clustered: Dataset,
 
     _MENTION_COLS = ("span_start", "span_end", "surface", "cluster_id")
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        b = (_h64(batch.column("conv_id").to_pylist()) %
-             np.uint64(config.num_hash_buckets)).astype(np.int32)
-        return batch.append_column("tbucket", pa.array(b, pa.int32()))
+    if order == "partitioned":
+        # per-input-block conv boundaries (one tiny row per block, in block
+        # order — the contract just validated); bucket = first block whose
+        # max conv covers the row, via one vectorized searchsorted. A conv
+        # spanning two input blocks still maps to ONE bucket (searchsorted
+        # is by value, not block), so the collapse never splits a turn.
+        def block_max(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.schema([("mx", batch.schema.field("conv_id").type)]) \
+                    .empty_table()
+            return pa.table({"mx": pa.array(
+                [pc.max(batch.column("conv_id")).as_py()])})
+
+        maxes_rows = transcripts.select_columns(["conv_id"]).map_batches(
+            block_max, batch_format="pyarrow", batch_size=None).take_all()
+        # take_all() yields blocks in COMPLETION order (preserve_order is
+        # off), so sort + dedupe: searchsorted needs sorted bounds, and the
+        # bucket map only has to be monotone in conv value — it need not
+        # correspond 1:1 to input blocks.
+        maxes = np.unique(np.asarray([r["mx"] for r in maxes_rows]))
+        bref = ray.put(maxes)
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            bounds = ray.get(bref)
+            conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+            if bounds.dtype.kind in ("U", "S"):
+                conv = conv.astype("U")  # fixed-width -> vectorized C compare
+            b = np.searchsorted(bounds, conv, side="left").astype(np.int32)
+            return batch.append_column("tbucket", pa.array(b, pa.int32()))
+    else:
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+            b = (_h64(conv) % np.uint64(config.num_hash_buckets)) \
+                .astype(np.int32)
+            return batch.append_column("tbucket", pa.array(b, pa.int32()))
 
     ent_type = pa.list_(pa.struct([
         ("start", pa.int32()), ("end", pa.int32()),
@@ -352,9 +396,13 @@ def annotate_transcripts(transcripts: Dataset, clustered: Dataset,
         head = t.take(pa.array(starts)).select(turn_cols)
         return head.append_column("entities", entities.cast(ent_type))
 
-    return joined.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("tbucket").map_groups(collapse, batch_format="pyarrow") \
-        .sort(["conv_id", "turn_idx"])
+    out = joined.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("tbucket").map_groups(collapse, batch_format="pyarrow")
+    if order == "partitioned":
+        # groupby emits buckets in KEY order (sort-based shuffle) and the
+        # collapse sorts within each bucket -> already globally ordered
+        return out
+    return out.sort(["conv_id", "turn_idx"])
 
 
 def run_linkage(transcripts: Dataset, config: LinkageConfig | None = None,

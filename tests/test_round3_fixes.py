@@ -52,6 +52,41 @@ class TestOrderAuto:
                .reset_index(drop=True))
 
 
+class TestAnnotateOrder:
+    def _run(self, transcripts_tbl, order):
+        import ray.data as rd2
+        from chameleon_entity_linking_ray.pipelines.linkage import (
+            annotate_transcripts,
+            run_linkage,
+        )
+        ds = rd2.from_arrow(transcripts_tbl).repartition(4)
+        clustered, _ = run_linkage(ds, LinkageConfig())
+        return annotate_transcripts(ds, clustered, LinkageConfig(),
+                                    order=order).to_pandas()
+
+    def test_partitioned_equals_global_on_sorted_input(self):
+        transcripts, _ = make_transcripts(n_convs=25, n_entities=8, seed=5)
+        tbl = transcripts.select(["conv_id", "turn_idx", "text"])
+        a = self._run(tbl, "partitioned")
+        b = self._run(tbl, "global")
+        assert a[["conv_id", "turn_idx", "text"]].equals(
+            b[["conv_id", "turn_idx", "text"]])
+        assert a["entities"].map(len).tolist() == b["entities"].map(len).tolist()
+        key = a[["conv_id", "turn_idx"]]
+        assert key.equals(key.sort_values(["conv_id", "turn_idx"])
+                          .reset_index(drop=True))
+
+    def test_auto_falls_back_on_interleaved(self):
+        transcripts, _ = make_transcripts(n_convs=25, n_entities=8, seed=5)
+        perm = np.random.default_rng(3).permutation(transcripts.num_rows)
+        tbl = transcripts.take(pa.array(perm)) \
+            .select(["conv_id", "turn_idx", "text"])
+        out = self._run(tbl, "auto")
+        key = out[["conv_id", "turn_idx"]]
+        assert key.equals(key.sort_values(["conv_id", "turn_idx"])
+                          .reset_index(drop=True))
+
+
 class TestJoinGuards:
     def test_broadcast_join_rejects_unsound_types(self):
         big = rd.from_items([{"k": 1, "x": 2}])
