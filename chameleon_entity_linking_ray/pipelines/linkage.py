@@ -145,6 +145,29 @@ def _local_sort(ds: Dataset, keys: list[str]) -> Dataset:
     return ds.map_batches(psort, batch_format="pyarrow", batch_size=None)
 
 
+def _materialize_ordered(ds: Dataset) -> Dataset:
+    """``materialize()`` with the stored block list in LOGICAL order.
+
+    With ``preserve_order`` off (the default) the streaming executor hands
+    blocks to materialize in completion order; for order-bearing tables
+    (the mention stream feeding range-partitioned output) that silently
+    voids the range-partition contract. The DataContext object is shared
+    by reference across the lineage, so set-and-restore around the
+    synchronous materialize."""
+    opts = ds.context.execution_options
+    saved = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        out = ds.materialize()
+    finally:
+        opts.preserve_order = saved
+    # the MaterializedDataset snapshots its own context DURING materialize
+    # (while the flag was True) — restore there too, or every downstream
+    # stage silently inherits preserve_order and loses pipelining
+    out.context.execution_options.preserve_order = saved
+    return out
+
+
 def blocks_range_partitioned(ds: Dataset, keys: list[str] | None = None) -> bool:
     """Validate the range-partition contract ``order="partitioned"`` relies
     on: per block, emit the min and max composite sort key (one Arrow
@@ -169,9 +192,24 @@ def blocks_range_partitioned(ds: Dataset, keys: list[str] | None = None) -> bool
         cols.update({f"{k}_hi": hi.column(k) for k in keys})
         return pa.table(cols)
 
-    # batch_size=None -> one row per block; tiny result, ordered like blocks
-    rows = ds.map_batches(bounds, batch_format="pyarrow",
-                          batch_size=None).take_all()
+    # batch_size=None -> one row per block. The check needs rows in LOGICAL
+    # block order, but with preserve_order off (the default) take_all()
+    # yields blocks in COMPLETION order — which made this probe spuriously
+    # return False and silently re-route callers onto the global sort (a
+    # 4x flagship regression). Each Dataset snapshots its DataContext at
+    # creation, so pin preserve_order on the PROBE dataset's own context
+    # (mutating the global context after creation is a no-op). That context
+    # object is SHARED by reference with the caller's lineage, so restore
+    # it after the (synchronous) probe — leaving it True would cost the
+    # caller's real pipeline its pipelining.
+    probe = ds.map_batches(bounds, batch_format="pyarrow", batch_size=None)
+    opts = probe.context.execution_options
+    saved = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        rows = probe.take_all()
+    finally:
+        opts.preserve_order = saved
     prev_hi = None
     for r in rows:
         lo = tuple(r[f"{k}_lo"] for k in keys)
@@ -436,8 +474,13 @@ def run_linkage(transcripts: Dataset, config: LinkageConfig | None = None,
 
     mentions = stage("mentions", ["input"], extract_mentions, transcripts, config)
     if not ckpt:
-        # two consumers (vocab + final join-back) — pin once, don't recompute
-        mentions = mentions.materialize()
+        # two consumers (vocab + final join-back) — pin once, don't recompute.
+        # ORDERED materialize: with preserve_order off, materialize() stores
+        # blocks in COMPLETION order, which breaks the range-partition
+        # contract downstream (order="auto" would then always pay the global
+        # sort). Mentions is the only order-bearing table — pin order here,
+        # leave every other stage free to pipeline out of order.
+        mentions = _materialize_ordered(mentions)
 
     vocab = stage("vocab", ["mentions"], build_vocab, mentions)
     if not ckpt:

@@ -38,6 +38,38 @@ class TestOrderAuto:
         ds = rd.from_arrow(a).union(rd.from_arrow(b))
         assert not blocks_range_partitioned(ds, keys=["k", "t"])
 
+    def test_ordered_materialize_keeps_logical_block_order(self):
+        # The session fixture pins preserve_order=True; this test flips it
+        # OFF to exercise the production default, where plain materialize()
+        # stores blocks in completion order. _materialize_ordered must keep
+        # the logical order (probe True) under that default — the silent
+        # 4x flagship regression of the round was this probe returning
+        # False on a completion-ordered materialize and re-routing the
+        # flagship onto the global sort.
+        from chameleon_entity_linking_ray.pipelines.linkage import (
+            _materialize_ordered,
+        )
+        ctx = rd.DataContext.get_current()
+        saved = ctx.execution_options.preserve_order
+        ctx.execution_options.preserve_order = False
+        try:
+            import time as _t
+
+            def slow_first(batch: pa.Table) -> pa.Table:
+                # make low blocks finish LAST so completion order != logical
+                if batch.column("k").to_pylist()[0] < 500:
+                    _t.sleep(0.3)
+                return batch
+
+            ds = rd.from_arrow(pa.table({"k": list(range(1000))})) \
+                .repartition(8).map_batches(slow_first, batch_format="pyarrow")
+            m = _materialize_ordered(ds)
+            assert blocks_range_partitioned(m, keys=["k"])
+            # and the shared context flag was restored
+            assert m.context.execution_options.preserve_order is False
+        finally:
+            ctx.execution_options.preserve_order = saved
+
     def test_auto_falls_back_to_global_on_interleaved_input(self):
         transcripts, _ = make_transcripts(n_convs=30, n_entities=8, seed=7)
         perm = np.random.default_rng(0).permutation(transcripts.num_rows)
