@@ -408,14 +408,18 @@ def annotate_transcripts(transcripts: Dataset, clustered: Dataset,
         t = t.take(pc.sort_indices(
             t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending"),
                           ("span_start", "ascending")]))
-        conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
-        turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
-        n = len(conv)
+        n = t.num_rows
         if n == 0:
             empty = pa.table({c: t.column(c) for c in turn_cols})
             return empty.append_column(
                 "entities", pa.array([], type=ent_type))
-        new = np.r_[True, (conv[1:] != conv[:-1]) | (turn[1:] != turn[:-1])]
+        # turn-boundary detection via Arrow slice-compare (vectorized C
+        # string equality) — no to_pylist / object-dtype round trip
+        conv = t.column("conv_id").combine_chunks()
+        turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+        conv_ne = pc.not_equal(conv.slice(1), conv.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        new = np.r_[True, conv_ne | (turn[1:] != turn[:-1])]
         starts = np.flatnonzero(new)
         valid = pc.is_valid(t.column("span_start")) \
             .to_numpy(zero_copy_only=False)
