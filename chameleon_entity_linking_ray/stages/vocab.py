@@ -46,23 +46,41 @@ def build_vocab(mentions: Dataset, text_col: str = "norm",
     the exchange moves ~n_blocks x vocab rows instead of every mention —
     the difference between shuffling 10^12 rows and 10^7 at target scale."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if text_col not in df.columns:
-            # lean mention stream: derive norm from surface (vectorized)
-            from chameleon_entity_linking_ray.functions.text import normalize_list
-            df = pd.DataFrame({text_col: normalize_list(df["surface"].tolist())})
-        part = df.groupby(text_col, sort=False).size().rename("n_mentions") \
-            .reset_index()
-        b = (mix64(hash64(part[text_col].to_numpy(object)), seed=67) %
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if batch.num_rows == 0:
+            return pa.table({text_col: pa.array([], pa.string()),
+                             "n_mentions": pa.array([], pa.int64()),
+                             "__vbucket": pa.array([], pa.int32())})
+        if text_col in batch.column_names:
+            vc = pc.value_counts(batch.column(text_col).combine_chunks())
+            part = pa.table({text_col: vc.field("values"),
+                             "n_mentions": vc.field("counts").cast(pa.int64())})
+        else:
+            # lean mention stream: count DISTINCT raw surfaces first (Arrow
+            # C value_counts over the 60M-row stream), then normalize only
+            # the per-block distinct values — orders of magnitude fewer
+            # regex passes than normalizing every mention row, and no
+            # Arrow->pandas object conversion of the wide stream
+            from chameleon_entity_linking_ray.functions.text import normalize_array
+            vc = pc.value_counts(batch.column("surface").combine_chunks())
+            norm = normalize_array(vc.field("values"))
+            if isinstance(norm, pa.ChunkedArray):
+                norm = norm.combine_chunks()
+            # distinct surfaces can share a norm -> re-aggregate by norm
+            part = pa.table({text_col: norm,
+                             "n_mentions": vc.field("counts").cast(pa.int64())}) \
+                .group_by(text_col).aggregate([("n_mentions", "sum")]) \
+                .rename_columns([text_col, "n_mentions"])
+        b = (mix64(hash64(part.column(text_col).to_pylist()), seed=67) %
              np.uint64(num_buckets)).astype(np.int32)
-        part["__vbucket"] = b
-        return part
+        return part.append_column("__vbucket", pa.array(b, pa.int32()))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(text_col, sort=False)["n_mentions"].sum().reset_index()
         out["n_mentions"] = out["n_mentions"].astype(np.int64)
         return out
 
-    vocab = mentions.map_batches(partial, batch_format="pandas") \
+    vocab = mentions.map_batches(partial, batch_format="pyarrow") \
         .groupby("__vbucket").map_groups(combine, batch_format="pandas")
     return vocab.map_batches(add_node_column(text_col), batch_format="pyarrow")
