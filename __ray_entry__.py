@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_runs": A.merge_runs,
         "topk_per_customer": A.topk_per_customer,
         "distinct_counts": A.distinct_counts,
+        "asof_events_orders": A.asof_join_events_orders,
         # --- text analysis (documents) ---
         "doc_tokens": C.doc_tokens,
         "doc_quality": C.doc_quality,
@@ -198,6 +199,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
             GROUP BY event_type""",
+        # backward inner as-of: DuckDB's native ASOF JOIN; orders deduped
+        # to one row per (custkey, day) with MIN(o_orderkey) so the
+        # tie-break is deterministic on both sides; epoch_us // 1000000
+        # mirrors the engine's Arrow int64 floor division exactly
+        "asof_events_orders": """
+            WITH od AS (
+                SELECT o_custkey AS user_id,
+                       epoch_us(o_orderdate) // 1000000 AS order_ts_s,
+                       MIN(o_orderkey) AS matched_order
+                FROM orders GROUP BY 1, 2
+            ), ev AS (
+                SELECT event_id, user_id,
+                       epoch_us(ts) // 1000000 AS ts_s, event_type
+                FROM events
+            )
+            SELECT ev.event_id, ev.user_id, ev.ts_s, ev.event_type,
+                   od.matched_order, od.order_ts_s
+            FROM ev ASOF JOIN od
+              ON ev.user_id = od.user_id AND ev.ts_s >= od.order_ts_s""",
         "customers_no_orders": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)""",

@@ -249,3 +249,117 @@ def distinct_counts(sf_dir: str) -> Dataset:
     return ray.data.from_arrow(pa.table({
         "n_event_types": pa.array([counts.get(0, 0)], pa.int64()),
         "n_users": pa.array([counts.get(1, 0)], pa.int64())}))
+
+
+def asof_join_events_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """Distributed AS-OF join: each event matched to its user's LATEST
+    order at-or-before the event time (backward inner as-of) — the
+    canonical "enrich a fact stream with the most recent dimension state"
+    operator that plain equality joins can't express.
+
+    Shape: both sides are bucketed by hash(user key) and union'd into ONE
+    sort-shuffle (schema-pinned tagged union — no driver materialize, no
+    per-call schema probe); each bucket group runs a vectorized
+    ``pd.merge_asof`` (two mergesorts + one linear backward scan). Orders
+    are pre-deduped to one row per (custkey, orderdate) with the MIN
+    orderkey so tie-breaks are deterministic on both the engine and the
+    DuckDB ``ASOF JOIN`` oracle. Partitioning assumption: per-user history
+    fits a bucket group — at 100 TB raise num_buckets (buckets are
+    hash-balanced over users; no per-user skew beyond one user's events).
+
+    Timestamps are emitted as epoch seconds (BIGINT) so the oracle hash
+    compares integers, not timezone-normalized timestamp renderings.
+    """
+    from chameleon_entity_linking_ray.functions.hashing import mix64
+
+    def _epoch_s(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+        # unit-aware epoch seconds (fixtures store ns, testdata us)
+        unit = col.type.unit if isinstance(col.type, pa.TimestampType) else "s"
+        div = {"s": 1, "ms": 1_000, "us": 1_000_000,
+               "ns": 1_000_000_000}[unit]
+        return pc.divide(col.cast(pa.int64()), div)
+
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "user_id",
+                                       "event_type"])
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+    # one order per (custkey, day): min orderkey — deterministic ties
+    orders = grouped_agg(orders.map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("o_custkey"),
+            "order_ts_s": _epoch_s(b.column("o_orderdate")),
+            "o_orderkey": b.column("o_orderkey")}),
+        batch_format="pyarrow"),
+        keys=["user_id", "order_ts_s"],
+        aggs={"matched_order": ("o_orderkey", "min")},
+        num_buckets=num_buckets)
+
+    _SCHEMA = pa.schema([
+        ("_side", pa.int8()), ("user_id", pa.int64()),
+        ("ts_s", pa.int64()), ("event_id", pa.int64()),
+        ("event_type", pa.string()), ("matched_order", pa.int64()),
+        ("bucket", pa.int32()),
+    ])
+
+    def _bucket(uid: pa.Array) -> pa.Array:
+        u = uid.to_numpy(zero_copy_only=False)
+        return pa.array((mix64(u.astype(np.uint64), seed=29)
+                         % np.uint64(num_buckets)).astype(np.int32),
+                        pa.int32())
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        uid = b.column("user_id").cast(pa.int64()).combine_chunks()
+        return pa.table({
+            "_side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "user_id": uid,
+            "ts_s": _epoch_s(b.column("ts")),
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "event_type": b.column("event_type").cast(pa.string()),
+            "matched_order": pa.nulls(n, pa.int64()),
+            "bucket": _bucket(uid),
+        }, schema=_SCHEMA)
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        uid = b.column("user_id").cast(pa.int64()).combine_chunks()
+        return pa.table({
+            "_side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "user_id": uid,
+            "ts_s": b.column("order_ts_s").cast(pa.int64()),
+            "event_id": pa.nulls(n, pa.int64()),
+            "event_type": pa.nulls(n, pa.string()),
+            "matched_order": b.column("matched_order").cast(pa.int64()),
+            "bucket": _bucket(uid),
+        }, schema=_SCHEMA)
+
+    tagged = ev.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0]
+        right = g[g["_side"] == 1]
+        out_cols = ["event_id", "user_id", "ts_s", "event_type",
+                    "matched_order", "order_ts_s"]
+        if left.empty or right.empty:
+            return pd.DataFrame({c: pd.Series(
+                dtype=(object if c == "event_type" else np.int64))
+                for c in out_cols})
+        m = pd.merge_asof(
+            left.sort_values("ts_s", kind="mergesort")
+                .drop(columns=["matched_order"]),
+            right.sort_values("ts_s", kind="mergesort")[
+                ["user_id", "ts_s", "matched_order"]]
+                .rename(columns={"ts_s": "order_ts_s"}),
+            left_on="ts_s", right_on="order_ts_s", by="user_id",
+            direction="backward", allow_exact_matches=True)
+        m = m[m["matched_order"].notna()].copy()
+        # the tagged union carries nulls on the other side's columns, so
+        # pandas floats the whole group column — restore int64 after the
+        # match filter removed every NaN
+        for c in ("event_id", "user_id", "ts_s", "matched_order",
+                  "order_ts_s"):
+            m[c] = m[c].astype(np.int64)
+        return m[out_cols]
+
+    return tagged.groupby("bucket").map_groups(merge, batch_format="pandas")

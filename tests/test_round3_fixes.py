@@ -335,3 +335,58 @@ class TestScoreCacheParity:
         assert batch.dtype == np.float64
         for (a, b), v in zip(pairs, batch):
             assert v == edit_similarity(a, b), (a, b)
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof_oracle(self, tmp_path):
+        rng = np.random.default_rng(11)
+        n_ev, n_ord, n_users = 400, 120, 25
+        ev = pd.DataFrame({
+            "event_id": np.arange(n_ev, dtype=np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(1_600_000_000, 1_700_000_000, n_ev), unit="s"),
+            "user_id": rng.integers(0, n_users, n_ev).astype(np.int64),
+            "event_type": rng.choice(["view", "buy"], n_ev),
+            "value": rng.random(n_ev),
+            "props": [""] * n_ev,
+        })
+        od = pd.DataFrame({
+            "o_orderkey": np.arange(n_ord, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_users, n_ord).astype(np.int64),
+            "o_orderstatus": ["O"] * n_ord,
+            "o_totalprice": rng.random(n_ord),
+            "o_orderdate": pd.to_datetime(
+                rng.integers(1_590_000_000, 1_695_000_000, n_ord),
+                unit="s"),
+            "o_orderpriority": ["1"] * n_ord,
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        ev.to_parquet(sf / "events.parquet")
+        od.to_parquet(sf / "orders.parquet")
+
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            asof_join_events_orders,
+        )
+        got = asof_join_events_orders(str(sf)).to_pandas() \
+            .sort_values(["event_id"]).reset_index(drop=True)
+
+        # pandas reference: dedupe orders per (user, second), backward asof
+        odd = od.assign(order_ts_s=od["o_orderdate"].astype(np.int64)
+                        // 1_000_000_000)
+        odd = odd.groupby(["o_custkey", "order_ts_s"], as_index=False) \
+            .agg(matched_order=("o_orderkey", "min")) \
+            .rename(columns={"o_custkey": "user_id"})
+        evv = ev.assign(ts_s=ev["ts"].astype(np.int64) // 1_000_000_000)
+        ref = pd.merge_asof(
+            evv.sort_values("ts_s", kind="mergesort"),
+            odd.sort_values("order_ts_s", kind="mergesort"),
+            left_on="ts_s", right_on="order_ts_s", by="user_id",
+            direction="backward")
+        ref = ref[ref["matched_order"].notna()].sort_values("event_id") \
+            .reset_index(drop=True)
+        assert got["event_id"].tolist() == ref["event_id"].tolist()
+        assert got["matched_order"].tolist() == \
+            ref["matched_order"].astype(np.int64).tolist()
+        assert got["order_ts_s"].tolist() == \
+            ref["order_ts_s"].astype(np.int64).tolist()
