@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_customer": A.topk_per_customer,
         "distinct_counts": A.distinct_counts,
         "asof_events_orders": A.asof_join_events_orders,
+        "sessionize_events": A.sessionize_events,
         # --- text analysis (documents) ---
         "doc_tokens": C.doc_tokens,
         "doc_quality": C.doc_quality,
@@ -218,6 +219,25 @@ def oracle_sql() -> dict[str, str]:
                    od.matched_order, od.order_ts_s
             FROM ev ASOF JOIN od
               ON ev.user_id = od.user_id AND ev.ts_s >= od.order_ts_s""",
+        # gap-based session windows (gap 1800 s): LAG + running SUM per
+        # user; ties share a gap of 0 so tie order never changes sessions
+        "sessionize_events": """
+            WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s
+                       FROM events),
+            l AS (SELECT user_id, ts_s,
+                     CASE WHEN LAG(ts_s) OVER w IS NULL
+                          OR ts_s - LAG(ts_s) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+            s AS (SELECT user_id, ts_s,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM l)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+                   MIN(ts_s) AS session_start_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(ts_s) - MIN(ts_s) AS duration_s
+            FROM s GROUP BY user_id, sid""",
         "customers_no_orders": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)""",

@@ -363,3 +363,72 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
         return m[out_cols]
 
     return tagged.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def sessionize_events(sf_dir: str, gap_s: int = 1800,
+                      num_buckets: int = 32) -> Dataset:
+    """Gap-based session windows per user — the streaming "session window"
+    aggregate expressed as one hash-bucket shuffle + a vectorized
+    per-bucket kernel (no per-event Python, no global sort).
+
+    A session is a maximal run of a user's events where consecutive gaps
+    are <= ``gap_s``. Emits one row per session: (user_id, session_idx
+    1-based in time order, session_start_s, n_events, duration_s).
+    Events sharing a timestamp are gap-0 regardless of intra-tie order,
+    so the output is deterministic under any within-bucket ordering.
+    Partitioning assumption: one user's events fit a bucket group
+    (hash-balanced over users; raise num_buckets at scale).
+    """
+    from chameleon_entity_linking_ray.functions.hashing import mix64
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        col = b.column("ts")
+        unit = col.type.unit if isinstance(col.type, pa.TimestampType) else "s"
+        div = {"s": 1, "ms": 1_000, "us": 1_000_000,
+               "ns": 1_000_000_000}[unit]
+        uid = b.column("user_id").cast(pa.int64()).combine_chunks()
+        u = uid.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": uid,
+            "ts_s": pc.divide(col.cast(pa.int64()), div),
+            "bucket": pa.array((mix64(u.astype(np.uint64), seed=37)
+                                % np.uint64(num_buckets)).astype(np.int32),
+                               pa.int32()),
+        })
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_s"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_s"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in
+                                 ("user_id", "session_idx",
+                                  "session_start_s", "n_events",
+                                  "duration_s")})
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        new_sess = new_user | np.r_[False, (ts[1:] - ts[:-1]) > gap_s]
+        sess_id = np.cumsum(new_sess) - 1          # global within bucket
+        starts = np.flatnonzero(new_sess)
+        counts = np.diff(np.r_[starts, n])
+        ends = starts + counts - 1
+        # 1-based per-user session index: rank of the session among its
+        # user's sessions (sessions are emitted in time order per user)
+        user_first = np.flatnonzero(new_user)      # session idx where a user starts
+        sess_of_user_first = sess_id[user_first]
+        per_user_base = np.repeat(sess_of_user_first,
+                                  np.diff(np.r_[sess_of_user_first,
+                                                sess_id[-1] + 1]))
+        return pd.DataFrame({
+            "user_id": uid[starts],
+            "session_idx": (np.arange(len(starts)) - per_user_base + 1)
+            .astype(np.int64),
+            "session_start_s": ts[starts].astype(np.int64),
+            "n_events": counts.astype(np.int64),
+            "duration_s": (ts[ends] - ts[starts]).astype(np.int64),
+        })
+
+    return ev.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(sessions, batch_format="pandas")

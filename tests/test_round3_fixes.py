@@ -390,3 +390,43 @@ class TestAsofJoin:
             ref["matched_order"].astype(np.int64).tolist()
         assert got["order_ts_s"].tolist() == \
             ref["order_ts_s"].astype(np.int64).tolist()
+
+
+class TestSessionize:
+    def test_matches_pandas_reference(self, tmp_path):
+        rng = np.random.default_rng(23)
+        n = 600
+        ev = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            # coarse grid forces duplicate timestamps per user (ties)
+            "ts": pd.to_datetime(
+                rng.integers(0, 400, n) * 900 + 1_600_000_000, unit="s"),
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            "event_type": ["view"] * n,
+            "value": np.zeros(n),
+            "props": [""] * n,
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        ev.to_parquet(sf / "events.parquet")
+
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            sessionize_events,
+        )
+        got = sessionize_events(str(sf), gap_s=1800).to_pandas() \
+            .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+        rows = []
+        e = ev.assign(ts_s=ev["ts"].astype(np.int64) // 1_000_000_000)
+        for uid, sub in e.groupby("user_id"):
+            ts = np.sort(sub["ts_s"].to_numpy())
+            new = np.r_[True, (ts[1:] - ts[:-1]) > 1800]
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.r_[starts, len(ts)])
+            for i, (s, c) in enumerate(zip(starts, cnt), 1):
+                rows.append((uid, i, ts[s], c, ts[s + c - 1] - ts[s]))
+        ref = pd.DataFrame(rows, columns=["user_id", "session_idx",
+                                          "session_start_s", "n_events",
+                                          "duration_s"])
+        pd.testing.assert_frame_equal(
+            got.astype(np.int64), ref.astype(np.int64))
