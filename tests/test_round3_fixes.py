@@ -430,3 +430,39 @@ class TestSessionize:
                                           "duration_s"])
         pd.testing.assert_frame_equal(
             got.astype(np.int64), ref.astype(np.int64))
+
+
+class TestNoDriverMaterializationR3:
+    """Round-3 fixes of the last two driver-materialization paths: the
+    expand_per_seed CSR and the embedding_near_dups broadcast matrix are
+    assembled in Ray tasks from block refs — with the bulk
+    driver-materialization APIs patched to raise, both ops must complete."""
+
+    def _patch(self, m):
+        import ray.data as rdm
+
+        def boom(*a, **k):
+            raise AssertionError("driver-side materialization")
+
+        m.setattr(rdm.Dataset, "to_pandas", boom)
+        m.setattr(rdm.Dataset, "to_numpy_refs", boom)
+
+    def test_expand_per_seed_csr_in_task(self, monkeypatch):
+        from chameleon_entity_linking_ray.stages.graph import expand_per_seed
+        edges = rd.from_items(
+            [{"src": a, "dst": b} for a, b in
+             [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2)]])
+        with monkeypatch.context() as m:
+            self._patch(m)
+            out = expand_per_seed(edges, [0], k=3, mode="bfs").take_all()
+        assert {r["node"] for r in out} == {1, 2, 3}
+
+    def test_embedding_near_dups_broadcast_in_task(self, monkeypatch):
+        from chameleon_entity_linking_ray.pipelines.corpus import (
+            embedding_near_dups,
+        )
+        with monkeypatch.context() as m:
+            self._patch(m)
+            out = embedding_near_dups(SF).take_all()
+        assert len(out) > 0
+        assert all(r["left_vec"] < r["right_vec"] for r in out)
