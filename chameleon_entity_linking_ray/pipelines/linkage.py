@@ -178,6 +178,9 @@ def blocks_range_partitioned(ds: Dataset, keys: list[str] | None = None) -> bool
     import numpy as np  # noqa: F401  (parity with sibling helpers)
 
     keys = keys or _OUT_KEYS
+    # prune to the key columns: pushes projection into a parquet read and
+    # shrinks the per-block sort_indices input on wide tables
+    ds = ds.select_columns(list(keys))
 
     def bounds(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
