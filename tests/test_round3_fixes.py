@@ -466,3 +466,25 @@ class TestNoDriverMaterializationR3:
             out = embedding_near_dups(SF).take_all()
         assert len(out) > 0
         assert all(r["left_vec"] < r["right_vec"] for r in out)
+
+
+class TestExactJaccardPaths:
+    def test_broadcast_equals_bucketed_join_path(self):
+        import ray.data as rdm
+        from chameleon_entity_linking_ray.pipelines.corpus import (
+            exact_jaccard_filter,
+            read_table,
+        )
+        docs = read_table(SF, "documents", ["doc_id", "text"]).materialize()
+        ids = [r["doc_id"] for r in
+               docs.select_columns(["doc_id"]).take(40)]
+        cand = rdm.from_items(
+            [{"left_doc": min(a, b), "right_doc": max(a, b)}
+             for a, b in zip(ids[:20], ids[20:40]) if a != b])
+        bc = exact_jaccard_filter(cand, docs, 8, 0.0).to_pandas() \
+            .sort_values(["left_doc", "right_doc"]).reset_index(drop=True)
+        jn = exact_jaccard_filter(cand, docs, 8, 0.0,
+                                  broadcast_threshold=0).to_pandas() \
+            .sort_values(["left_doc", "right_doc"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(bc, jn)
+        assert len(bc) == 20
