@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from chameleon_entity_linking_ray.pipelines import analytics as A
     from chameleon_entity_linking_ray.pipelines import corpus as C
     from chameleon_entity_linking_ray.pipelines import reference_io as R
+    from chameleon_entity_linking_ray.pipelines import traindata as T
 
     return {
         # --- relational operator coverage (SURVEY.md §2.4-2.7) ---
@@ -127,6 +128,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_mentions": C.part_mentions,
         "mention_vocab": C.mention_vocab,
         "linkage_parts": C.linkage_parts,
+        # --- training-data prep (pipelines/traindata.py) ---
+        "redact_ids": T.redact_ids,
+        "sample_documents": T.sample_documents,
+        "stratified_sample": T.stratified_sample,
+        "pack_sequences": T.pack_sequences,
+        "top_ngrams": T.top_ngrams,
+        "doc_tokens_bpe": T.doc_tokens_bpe,
+        "exact_percentiles": T.exact_percentiles,
     }
 
 
@@ -572,10 +581,107 @@ def oracle_sql() -> dict[str, str]:
         # agree to the last ulp at sf0.01 (measured diff 0.0 after the
         # shared ROUND(rank, 8)).
         "ppr_copurchase": _ppr_sql(),
-        # ann_lsh_topk / dfs_copurchase / linkage_parts:
-        # approximate-recall, traversal-order, or iterative-scoring
-        # semantics — rows-only checks, each pinned by a dedicated pytest.
+        # axis-plane LSH buckets (bit i = embedding[i] > 0 — invariant
+        # under L2 normalization, so raw coordinates give the engine's
+        # bits) + exact cosine top-k within the query's bucket; same
+        # raw-score-ranking contract as ann_topk
+        "ann_lsh_topk": _ann_lsh_sql(),
+        # dfs_copurchase / linkage_parts: traversal-order and
+        # iterative-model-scoring semantics (mix64-hashed n-gram feature
+        # buckets, IDF-weighted Monge-Elkan) — rows-only checks, each
+        # pinned by a dedicated pytest.
+        # --- training-data prep (pipelines/traindata.py) ---
+        "redact_ids": r"""
+            SELECT c_custkey,
+                   regexp_replace(c_name, '[0-9]{4,}', '[ID]', 'g')
+                       AS name_redacted
+            FROM customer""",
+        "sample_documents": """
+            SELECT doc_id, lang FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2800'""",
+        "stratified_sample": """
+            SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
+            FROM (SELECT lang, doc_id,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+                  FROM documents)
+            WHERE rnk <= 25""",
+        # streaming packer contract: seq_id = floor(tokens_before/budget)
+        # over doc_id order (the engine computes this as a distributed
+        # prefix sum — pipelines/traindata.py:pack_sequences)
+        "pack_sequences": r"""
+            WITH tk AS (SELECT doc_id,
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text), '\s+'))
+                           END AS n_tokens
+                        FROM documents),
+                 w AS (SELECT doc_id, n_tokens,
+                           COALESCE(SUM(n_tokens) OVER (
+                               ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS before
+                       FROM tk)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(before // 256 AS BIGINT) AS seq_id
+            FROM w""",
+        "top_ngrams": r"""
+            WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS t
+                          FROM documents WHERE length(trim(text)) > 0),
+                 bg AS (SELECT unnest([t[i] || ' ' || t[i+1]
+                            FOR i IN generate_series(1, len(t)-1)]) AS bigram
+                        FROM toks WHERE len(t) > 1),
+                 c AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM bg GROUP BY bigram)
+            SELECT bigram, cnt
+            FROM (SELECT bigram, cnt,
+                         ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rn
+                  FROM c)
+            WHERE rn <= 20""",
+        "doc_tokens_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents""",
+        # shared rank contract: value at 1-based rank floor(q*(N-1))+1
+        "exact_percentiles": """
+            WITH v AS (SELECT CAST(trunc(l_extendedprice*100) AS BIGINT) AS v
+                       FROM lineitem),
+                 r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v),
+                 n AS (SELECT COUNT(*) AS cnt FROM v),
+                 t AS (SELECT CAST(q AS DOUBLE) AS q
+                       FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99))
+                            AS qt(q))
+            SELECT t.q AS q, r.v AS val_c
+            FROM t CROSS JOIN n
+            JOIN r ON r.rn = CAST(floor(t.q * (n.cnt - 1)) AS BIGINT) + 1""",
     }
+
+
+def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 8) -> str:
+    """Oracle for pipelines/corpus.py:ann_lsh_topk(planes="axis"): the
+    bucket is the n_planes-bit sign pattern of the leading embedding
+    coordinates (DuckDB lists are 1-indexed)."""
+    bits = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding, {bits} AS bucket
+                   FROM embeddings),
+             q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+                   FROM e WHERE vec_id < {n_queries}),
+             s AS (SELECT q.query_id, e.vec_id,
+                          list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                                 CAST(e.embedding AS DOUBLE[])) AS score
+                   FROM q JOIN e ON e.bucket = q.qb
+                   WHERE e.vec_id != q.query_id)
+        SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, vec_id) AS rnk
+              FROM s)
+        WHERE rnk <= {k}"""
 
 
 def _ppr_sql(alpha: float = 0.85, iters: int = 15, seed: int = 0) -> str:

@@ -514,24 +514,41 @@ def ann_topk(sf_dir: str, n_queries: int = 10, k: int = 5) -> Dataset:
 
 
 def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
-                 n_planes: int = 8, seed: int = 7) -> Dataset:
-    """LSH-bucketed ANN (the 100 TB path): random-hyperplane signatures
-    partition vectors; each query only scans its own bucket (plus none
-    other), turning a full scan into a 1/2^planes scan. Recall is
-    approximate by construction — the oracle for this op is rows-only."""
+                 n_planes: int = 8, seed: int = 7,
+                 planes: str = "axis") -> Dataset:
+    """LSH-bucketed ANN (the 100 TB path): hyperplane-sign signatures
+    partition vectors; each query only scans its own bucket, turning a
+    full scan into a ~1/2^planes scan. Output contract is "exact cosine
+    top-k WITHIN the query's bucket" (query_id, vec_id, rnk).
+
+    Two plane modes:
+    - ``"axis"`` (default): plane i is the i-th standard basis vector, so
+      bit i = (embedding[i] > 0). Deterministic and SQL-derivable — the
+      DuckDB oracle reproduces the buckets exactly, making this the
+      value-verified variant (signs are invariant under L2 normalization,
+      so raw coordinates give the same bits as normalized ones).
+    - ``"random"``: seeded Gaussian hyperplanes — the statistically
+      data-independent choice for adversarial/axis-correlated embeddings;
+      same dataflow, rows-only checkable.
+
+    Like ``ann_topk``, ranking is by RAW float64 cosine (rounding would
+    create ties the oracle doesn't see) and the score column is dropped
+    from the output because raw floats don't hash-match cross-engine."""
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     first = pa.concat_tables(
         [b for b in emb.filter(expr=f"vec_id < {n_queries}")
          .iter_batches(batch_format="pyarrow")]).to_pandas()
     dim = len(first["embedding"].iloc[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
+    if planes == "axis":
+        plane_mat = np.eye(n_planes, dim)
+    else:
+        plane_mat = np.random.RandomState(seed).randn(n_planes, dim)
     qids = first["vec_id"].to_numpy()
     qmat = np.stack(first["embedding"].to_numpy()).astype(np.float64)
     qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    qsig = (qmat @ planes.T > 0).astype(np.uint64)
+    qsig = (qmat @ plane_mat.T > 0).astype(np.uint64)
     qbucket = (qsig << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
-    ref = ray.put((qids, qmat, qbucket, planes))
+    ref = ray.put((qids, qmat, qbucket, plane_mat))
 
     class BucketScore:
         def __init__(self):
@@ -553,7 +570,7 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
                     "query_id": pa.array(np.full(mask.sum(), self.qids[qi]),
                                          pa.int64()),
                     "vec_id": pa.array(ids[mask], pa.int64()),
-                    "score": pa.array(np.round(scores, 6), pa.float64()),
+                    "score": pa.array(scores, pa.float64()),
                 }))
             if not outs:
                 return pa.table({"query_id": pa.array([], pa.int64()),
@@ -564,9 +581,16 @@ def ann_lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
     scored = emb.map_batches(BucketScore, batch_format="pyarrow",
                              batch_size=4096, concurrency=(1, 4))
     scored = scored.filter(expr="query_id != vec_id")
-    return grouped_top_k(scored, group_keys=["query_id"],
-                         by=["score", "vec_id"], ascending=[False, True],
-                         k=k, rank_col="rnk")
+    out = grouped_top_k(scored, group_keys=["query_id"],
+                        by=["score", "vec_id"], ascending=[False, True],
+                        k=k, rank_col="rnk")
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rnk"] = df["rnk"].astype(np.int64)
+        return df[["query_id", "vec_id", "rnk"]]
+
+    return out.map_batches(shape, batch_format="pandas")
 
 
 def embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> Dataset:

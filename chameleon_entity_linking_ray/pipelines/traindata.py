@@ -1,0 +1,288 @@
+"""Training-data preparation operators beyond the reference's set:
+deterministic sampling, PII redaction, sequence packing, corpus n-gram
+statistics, BPE-ish token counting, and exact distributed percentiles.
+
+These complete the "large-scale training-data pipeline" family started in
+``pipelines/corpus.py`` (dedup / similarity / text analysis). The design
+constraints are the same:
+
+- map-only where possible (redaction, sampling, token counting);
+- when global state is needed (prefix sums for packing, histograms for
+  percentiles) it is computed as a TINY per-range/per-bucket aggregate —
+  bounded by a knob, never by the data — broadcast back via ``ray.put``;
+- every op is value-verified against a DuckDB oracle (``__ray_entry__``),
+  which forces the determinism a resumable 100 TB run needs anyway.
+
+Determinism choices worth naming: sampling keys are md5 of the row key —
+content-addressed, partition-invariant, and reproducible in SQL (the same
+verifiability-over-speed trade as ``corpus.doc_fingerprint``; swap in the
+keyed vectorized SipHash ``functions.hashing.hash64`` at scale). Regexes
+are RE2 on both sides (Arrow and DuckDB), so redaction semantics match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data import Dataset
+
+from chameleon_entity_linking_ray.functions.text import token_counts
+from chameleon_entity_linking_ray.pipelines.analytics import read_table
+from chameleon_entity_linking_ray.stages.agg import grouped_agg, grouped_top_k, top_k
+
+# GPT-2-ish pretokenizer classes: letter runs, digit runs, single
+# non-alphanumeric marks. RE2-compatible (no lookarounds) so Arrow and
+# DuckDB count identically.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _md5_hex(values) -> list[str]:
+    """md5 hex digests of str(v) — the content-addressed sample key.
+    Per-row md5 is inherent to the verifiability contract (DuckDB md5());
+    the scale swap is functions.hashing.hash64 (vectorized SipHash)."""
+    return [hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in values]
+
+
+# ------------------------------------------------------------------ redaction
+
+def regex_redact(ds: Dataset, column: str, pattern: str, replacement: str,
+                 out_col: str | None = None) -> Dataset:
+    """Map-only regex scrub of one string column (PII masking, boilerplate
+    stripping). RE2 via ``pc.replace_substring_regex`` — zero-copy Arrow in,
+    Arrow out, no Python in the hot loop."""
+    out_col = out_col or column
+
+    def fn(batch: pa.Table) -> pa.Table:
+        red = pc.replace_substring_regex(batch.column(column), pattern,
+                                         replacement)
+        if out_col in batch.column_names:
+            i = batch.column_names.index(out_col)
+            return batch.set_column(i, out_col, red)
+        return batch.append_column(out_col, red)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def redact_ids(sf_dir: str) -> Dataset:
+    """PII redaction example: mask every 4+-digit run (account/customer
+    identifiers) in ``c_name``. Arrow replaces ALL matches; the oracle
+    passes the 'g' flag to DuckDB ``regexp_replace`` to match."""
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    red = regex_redact(cust, "c_name", r"[0-9]{4,}", "[ID]",
+                       out_col="name_redacted")
+    return red.select_columns(["c_custkey", "name_redacted"])
+
+
+# ------------------------------------------------------------------- sampling
+
+def sample_documents(sf_dir: str, hex_threshold: str = "2800") -> Dataset:
+    """Deterministic Bernoulli sample: keep a document iff the first 4 hex
+    chars of md5(doc_id) sort below ``hex_threshold`` (rate =
+    int(hex_threshold,16)/65536; "2800" ~ 15.6%). Hash-based sampling is
+    the only kind that survives resume/repartition at 100 TB — Ray's
+    ``random_sample`` is run-dependent, this is content-addressed."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keys = np.asarray([h[:4] for h in _md5_hex(ids)], dtype=object)
+        keep = keys < hex_threshold
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(sf_dir: str, n_per_group: int = 25) -> Dataset:
+    """Per-language deterministic sample of ``n_per_group`` docs: rank by
+    (md5(doc_id), doc_id) inside each ``lang`` stratum and keep the first n.
+    One bucketed grouped_top_k — no global sort, no driver loop."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "skey", pa.array(_md5_hex(batch.column("doc_id").to_pylist()),
+                             pa.string()))
+
+    keyed = docs.map_batches(with_key, batch_format="pyarrow")
+    out = grouped_top_k(keyed, group_keys=["lang"], by=["skey", "doc_id"],
+                        ascending=[True, True], k=n_per_group,
+                        rank_col="rnk")
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rnk"] = df["rnk"].astype(np.int64)
+        return df[["lang", "doc_id", "rnk"]]
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
+# ------------------------------------------------------------ sequence packing
+
+def pack_sequences(sf_dir: str, budget: int = 256,
+                   range_size: int = 1024) -> Dataset:
+    """Greedy-by-cumsum sequence packing for LLM training: documents in
+    doc_id order are packed into token-budget bins,
+    ``seq_id = floor(tokens_before_doc / budget)`` — the streaming packer
+    where a bin may overrun by at most one document.
+
+    This is a DISTRIBUTED PREFIX SUM: (1) map-only token counts; (2) a
+    combiner groupby collapses per-doc counts to one row per doc_id range
+    (``range_size`` docs each — the only driver-held state is #ranges rows,
+    a knob, not the corpus); (3) exclusive range offsets are broadcast via
+    ``ray.put``; (4) one shuffle co-locates each range, which sorts its own
+    docs and adds local cumsum to its broadcast base. No global sort, no
+    driver loop over rows."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(token_counts(batch.column("text")), pa.int64()),
+            "range_id": pa.array(d // range_size, pa.int64()),
+        })
+
+    tkr = docs.map_batches(tok, batch_format="pyarrow").materialize()
+
+    sums = grouped_agg(tkr, ["range_id"],
+                       {"tok_sum": ("n_tokens", "sum")}).to_pandas()
+    sums = sums.sort_values("range_id").reset_index(drop=True)
+    totals = sums["tok_sum"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    off_ref = ray.put((sums["range_id"].to_numpy(np.int64), offsets))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        rids, offs = ray.get(off_ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        base = offs[np.searchsorted(rids, int(g["range_id"].iloc[0]))]
+        nt = g["n_tokens"].to_numpy(np.int64)
+        before = base + np.concatenate([[0], np.cumsum(nt)[:-1]])
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "n_tokens": nt,
+                             "seq_id": before // budget})
+
+    return tkr.groupby("range_id").map_groups(assign, batch_format="pandas")
+
+
+# ------------------------------------------------------------ n-gram statistics
+
+def top_ngrams(sf_dir: str, k: int = 20) -> Dataset:
+    """Corpus-level top-k word bigrams: per-block bigram building is all
+    offset arithmetic over the flattened Arrow token lists (no per-row
+    Python), per-block value_counts is the combiner, one tiny groupby
+    merges partials, top_k prunes per block before the final cut."""
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        toks = pc.split_pattern_regex(text, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        off = np.asarray(toks.offsets)
+        lens = np.diff(off)
+        # docs with empty text split to [''] (len 1) -> zero bigrams
+        nbi = np.maximum(lens - 1, 0)
+        total = int(nbi.sum())
+        if total == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        doc_of = np.repeat(np.arange(len(lens)), nbi)
+        within = np.arange(total) - np.repeat(np.cumsum(nbi) - nbi, nbi)
+        pos = off[:-1][doc_of] + within
+        big = pd.Series(flat[pos]).str.cat(pd.Series(flat[pos + 1]), sep=" ")
+        vc = big.value_counts()
+        return pa.table({"bigram": pa.array(vc.index, pa.string()),
+                         "cnt": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    counts = grouped_agg(docs.map_batches(partial, batch_format="pyarrow"),
+                         ["bigram"], {"cnt": ("cnt", "sum")})
+    return top_k(counts, by=["cnt", "bigram"], ascending=[False, True], k=k)
+
+
+def doc_tokens_bpe(sf_dir: str) -> Dataset:
+    """BPE-ish pretokenizer count (letter runs / digit runs / punctuation
+    marks) — the token-budget estimator whitespace counting undercounts.
+    One RE2 kernel per batch on both engines (BPE_TOKEN_RE)."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), BPE_TOKEN_RE)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ percentiles
+
+def exact_percentiles(sf_dir: str, qs: tuple[float, ...] =
+                      (0.25, 0.5, 0.75, 0.9, 0.99),
+                      n_buckets: int = 256) -> Dataset:
+    """EXACT distributed percentiles of l_extendedprice (in cents) — the
+    two-phase histogram method: (1) per-block partial histograms over
+    ``n_buckets`` fixed-width value ranges combine into a tiny bucket-count
+    table (n_buckets rows on the driver — a knob, never the data); its
+    cumsum locates the bucket holding each target rank; (2) only those
+    buckets are re-scanned — a filtered distributed sort of ~N/n_buckets
+    rows recovers the order statistic. Rank contract (shared with the
+    DuckDB oracle): value at 1-based rank floor(q*(N-1))+1.
+
+    At a skewed 100 TB the refinement recurses (re-histogram inside the hot
+    bucket) instead of sorting it; one level suffices here and the
+    dataflow is identical."""
+    from ray.data.aggregate import Count, Max, Min
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(np.trunc(v * 100).astype(np.int64),
+                                       pa.int64())})
+
+    vals = li.map_batches(cents, batch_format="pyarrow").materialize()
+    stats = vals.aggregate(Min("v"), Max("v"), Count())
+    lo, hi, n = int(stats["min(v)"]), int(stats["max(v)"]), int(stats["count()"])
+    width = max(1, (hi - lo) // n_buckets + 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        ub, cnt = np.unique((v - lo) // width, return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    h = grouped_agg(vals.map_batches(hist, batch_format="pyarrow"),
+                    ["bucket"], {"cnt": ("cnt", "sum")}).to_pandas()
+    h = h.sort_values("bucket").reset_index(drop=True)
+    cum = np.cumsum(h["cnt"].to_numpy(np.int64))
+    below_of_bucket = np.concatenate([[0], cum[:-1]])
+
+    # quantile -> (bucket, within-bucket rank); group shared buckets
+    want: dict[int, list[tuple[float, int]]] = {}
+    for q in qs:
+        r = int(np.floor(q * (n - 1))) + 1  # 1-based global rank
+        bi = int(np.searchsorted(cum, r))
+        want.setdefault(bi, []).append((q, r - int(below_of_bucket[bi])))
+
+    rows_q, rows_v = [], []
+    for bi, targets in sorted(want.items()):
+        b = int(h["bucket"].iloc[bi])
+        bs, be = lo + b * width, lo + (b + 1) * width
+        m = max(t[1] for t in targets)
+        sub = vals.filter(expr=f"v >= {bs} and v < {be}") \
+            .sort("v").limit(m).to_pandas()["v"].to_numpy(np.int64)
+        for q, mrank in targets:
+            rows_q.append(q)
+            rows_v.append(int(sub[mrank - 1]))
+
+    out = pa.table({"q": pa.array(rows_q, pa.float64()),
+                    "val_c": pa.array(rows_v, pa.int64())})
+    return ray.data.from_arrow(out)

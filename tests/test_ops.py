@@ -142,6 +142,32 @@ class TestCorpusOps:
             sub = got[got["query_id"] == q].sort_values("rnk")
             assert sub["vec_id"].tolist() == want.tolist()
 
+    def test_ann_lsh_topk_axis_matches_bucket_bruteforce(self):
+        """Axis-plane mode: buckets = sign pattern of the leading coords;
+        output must equal exact within-bucket top-k (the value-oracle
+        contract in __ray_entry__._ann_lsh_sql)."""
+        import pyarrow.parquet as pq
+        from chameleon_entity_linking_ray.pipelines.corpus import ann_lsh_topk
+        got = ann_lsh_topk(SF, n_queries=3, k=4, n_planes=6).to_pandas()
+        emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        ids = emb["vec_id"].to_numpy()
+        bucket = ((mat[:, :6] > 0) << np.arange(6)).sum(axis=1)
+        for q in range(3):
+            qi = np.flatnonzero(ids == q)[0]
+            mask = (bucket == bucket[qi]) & (ids != q)
+            cids, cscores = ids[mask], mat[mask] @ mat[qi]
+            order = np.lexsort((cids, -cscores))[:4]
+            sub = got[got["query_id"] == q].sort_values("rnk")
+            assert sub["vec_id"].tolist() == cids[order].tolist()
+
+    def test_ann_lsh_topk_random_mode_runs(self):
+        from chameleon_entity_linking_ray.pipelines.corpus import ann_lsh_topk
+        out = ann_lsh_topk(SF, n_queries=2, k=3, planes="random").to_pandas()
+        assert set(out.columns) == {"query_id", "vec_id", "rnk"}
+        assert (out.groupby("query_id")["rnk"].max() <= 3).all()
+
     def test_simhash_near_dup_small_hamming(self):
         from chameleon_entity_linking_ray.pipelines.corpus import simhash_docs
         out = simhash_docs(SF).to_pandas()
