@@ -36,7 +36,7 @@ QUERY_NAMES = [
     "q1_pricing", "segment_revenue", "events_daily", "topk_per_customer",
     "merge_runs", "doc_langid", "minhash_dup_pairs", "ngram_jaccard_pairs",
     "ann_topk", "ir_metrics", "linkage_parts", "asof_events_orders",
-    "sessionize_events",
+    "sessionize_events", "pack_sequences", "top_ngrams", "exact_percentiles",
 ]
 
 

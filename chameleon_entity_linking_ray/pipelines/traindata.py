@@ -223,66 +223,113 @@ def doc_tokens_bpe(sf_dir: str) -> Dataset:
 
 # ------------------------------------------------------------------ percentiles
 
+def _parquet_column_stats(path: str, column: str):
+    """(min, max, rows) from the parquet FOOTER row-group statistics —
+    zero data scanned. Returns None when any row group lacks stats."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    try:
+        ci = md.schema.names.index(column)
+    except ValueError:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return lo, hi, md.num_rows
+
+
 def exact_percentiles(sf_dir: str, qs: tuple[float, ...] =
                       (0.25, 0.5, 0.75, 0.9, 0.99),
                       n_buckets: int = 256) -> Dataset:
     """EXACT distributed percentiles of l_extendedprice (in cents) — the
-    two-phase histogram method: (1) per-block partial histograms over
-    ``n_buckets`` fixed-width value ranges combine into a tiny bucket-count
-    table (n_buckets rows on the driver — a knob, never the data); its
-    cumsum locates the bucket holding each target rank; (2) only those
-    buckets are re-scanned — a filtered distributed sort of ~N/n_buckets
-    rows recovers the order statistic. Rank contract (shared with the
-    DuckDB oracle): value at 1-based rank floor(q*(N-1))+1.
+    two-phase histogram method in exactly TWO data scans:
 
-    At a skewed 100 TB the refinement recurses (re-histogram inside the hot
-    bucket) instead of sorting it; one level suffices here and the
-    dataflow is identical."""
-    from ray.data.aggregate import Count, Max, Min
+    1. (min, max, N) come from the parquet FOOTER statistics — no scan at
+       all (cents = trunc(v*100) is monotone, so the footer min/max map
+       through); a full aggregate pass is the fallback for stat-less
+       files. Per-block partial histograms over ``n_buckets`` fixed-width
+       ranges then combine into a tiny bucket-count table (n_buckets rows
+       on the driver — a knob, never the data) whose cumsum locates the
+       bucket holding each target rank.
+    2. ONE filtered pass re-scans only the rank-holding buckets (~
+       len(qs) * N/n_buckets rows), one distributed sort+limit over their
+       union, and every order statistic is an index into it (union rank =
+       global rank minus values below the bucket that are outside the
+       union — all known from the histogram).
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
-                               columns=["l_extendedprice"])
+    Rank contract (shared with the DuckDB oracle): value at 1-based rank
+    floor(q*(N-1))+1. At a skewed 100 TB the refinement recurses
+    (re-histogram inside the hot bucket) instead of sorting it; one level
+    suffices here and the dataflow is identical."""
+    path = f"{sf_dir}/lineitem.parquet"
+    col = "l_extendedprice"
+    li = ray.data.read_parquet(path, columns=[col])
 
-    def cents(batch: pa.Table) -> pa.Table:
-        v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        return pa.table({"v": pa.array(np.trunc(v * 100).astype(np.int64),
-                                       pa.int64())})
+    def cents_of(batch: pa.Table) -> np.ndarray:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        return np.trunc(v * 100).astype(np.int64)
 
-    vals = li.map_batches(cents, batch_format="pyarrow").materialize()
-    stats = vals.aggregate(Min("v"), Max("v"), Count())
-    lo, hi, n = int(stats["min(v)"]), int(stats["max(v)"]), int(stats["count()"])
+    st = _parquet_column_stats(path, col)
+    if st is not None:
+        lo = int(np.trunc(st[0] * 100))
+        hi = int(np.trunc(st[1] * 100))
+        n = int(st[2])
+    else:  # fallback: one aggregate scan
+        from ray.data.aggregate import Count, Max, Min
+
+        def cents_tbl(batch: pa.Table) -> pa.Table:
+            return pa.table({"v": pa.array(cents_of(batch), pa.int64())})
+
+        s = li.map_batches(cents_tbl, batch_format="pyarrow") \
+            .aggregate(Min("v"), Max("v"), Count())
+        lo, hi, n = int(s["min(v)"]), int(s["max(v)"]), int(s["count()"])
     width = max(1, (hi - lo) // n_buckets + 1)
 
     def hist(batch: pa.Table) -> pa.Table:
-        v = batch.column("v").to_numpy(zero_copy_only=False)
-        ub, cnt = np.unique((v - lo) // width, return_counts=True)
+        ub, cnt = np.unique((cents_of(batch) - lo) // width,
+                            return_counts=True)
         return pa.table({"bucket": pa.array(ub, pa.int64()),
                          "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    h = grouped_agg(vals.map_batches(hist, batch_format="pyarrow"),
+    h = grouped_agg(li.map_batches(hist, batch_format="pyarrow"),
                     ["bucket"], {"cnt": ("cnt", "sum")}).to_pandas()
     h = h.sort_values("bucket").reset_index(drop=True)
+    buckets = h["bucket"].to_numpy(np.int64)
     cum = np.cumsum(h["cnt"].to_numpy(np.int64))
     below_of_bucket = np.concatenate([[0], cum[:-1]])
 
-    # quantile -> (bucket, within-bucket rank); group shared buckets
-    want: dict[int, list[tuple[float, int]]] = {}
+    # quantile -> (histogram row, within-union 1-based rank)
+    union_rows = sorted({int(np.searchsorted(cum, int(np.floor(q * (n - 1))) + 1))
+                         for q in qs})
+    union_below = {bi: sum(int(h["cnt"].iloc[b]) for b in union_rows if b < bi)
+                   for bi in union_rows}
+    targets = []
     for q in qs:
-        r = int(np.floor(q * (n - 1))) + 1  # 1-based global rank
+        r = int(np.floor(q * (n - 1))) + 1
         bi = int(np.searchsorted(cum, r))
-        want.setdefault(bi, []).append((q, r - int(below_of_bucket[bi])))
+        targets.append((q, r - int(below_of_bucket[bi]) + union_below[bi]))
+    m = max(t[1] for t in targets)
+    ranges = [(lo + int(buckets[bi]) * width, lo + (int(buckets[bi]) + 1) * width)
+              for bi in union_rows]
 
-    rows_q, rows_v = [], []
-    for bi, targets in sorted(want.items()):
-        b = int(h["bucket"].iloc[bi])
-        bs, be = lo + b * width, lo + (b + 1) * width
-        m = max(t[1] for t in targets)
-        sub = vals.filter(expr=f"v >= {bs} and v < {be}") \
-            .sort("v").limit(m).to_pandas()["v"].to_numpy(np.int64)
-        for q, mrank in targets:
-            rows_q.append(q)
-            rows_v.append(int(sub[mrank - 1]))
+    def in_union(batch: pa.Table) -> pa.Table:
+        v = cents_of(batch)
+        mask = np.zeros(len(v), dtype=bool)
+        for bs, be in ranges:
+            mask |= (v >= bs) & (v < be)
+        return pa.table({"v": pa.array(v[mask], pa.int64())})
 
-    out = pa.table({"q": pa.array(rows_q, pa.float64()),
-                    "val_c": pa.array(rows_v, pa.int64())})
+    sub = li.map_batches(in_union, batch_format="pyarrow") \
+        .sort("v").limit(m).to_pandas()["v"].to_numpy(np.int64)
+
+    out = pa.table({"q": pa.array([t[0] for t in targets], pa.float64()),
+                    "val_c": pa.array([int(sub[t[1] - 1]) for t in targets],
+                                      pa.int64())})
     return ray.data.from_arrow(out)
