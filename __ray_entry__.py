@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": T.top_ngrams,
         "doc_tokens_bpe": T.doc_tokens_bpe,
         "exact_percentiles": T.exact_percentiles,
+        "doc_chunks": T.doc_chunks,
+        "doc_keywords": T.doc_keywords,
     }
 
 
@@ -644,6 +646,52 @@ def oracle_sql() -> dict[str, str]:
                        text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
                        AS n_bpe_tokens
             FROM documents""",
+        # sliding-window chunking: chunk i covers tokens
+        # [i*24, i*24+32) (stride 24 = max 32 - overlap 8); DuckDB
+        # list_slice is 1-based inclusive
+        "doc_chunks": r"""
+            WITH tk AS (SELECT doc_id,
+                           CASE WHEN length(trim(text)) = 0
+                                THEN CAST([] AS VARCHAR[])
+                                ELSE string_split_regex(trim(text), '\s+')
+                           END AS t
+                        FROM documents),
+                 c AS (SELECT doc_id, t, len(t) AS n,
+                          CASE WHEN len(t) <= 32 THEN 1
+                               ELSE CAST(ceil((len(t) - 32) / 24.0) AS BIGINT)
+                                    + 1 END AS n_chunks
+                       FROM tk),
+                 e AS (SELECT doc_id, t, n,
+                          unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+                       FROM c)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+                   CAST(LEAST(chunk_idx * 24 + 32, n) - chunk_idx * 24
+                        AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(list_slice(t, chunk_idx * 24 + 1,
+                                              LEAST(chunk_idx * 24 + 32, n)),
+                                   ' ') AS chunk_text
+            FROM e""",
+        # tf-idf keywords: scores rounded to 6 BEFORE ranking on both
+        # sides so cross-engine libm last-ulp differences cannot flip
+        # the order
+        "doc_keywords": r"""
+            WITH tk AS (SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+')) AS term
+                        FROM documents WHERE length(trim(text)) > 0),
+                 tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                        FROM tk GROUP BY doc_id, term),
+                 df AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                        FROM tk GROUP BY term),
+                 nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+                 s AS (SELECT tf.doc_id, tf.term, tf.tf,
+                          ROUND(tf.tf * ln(nd.n / df.df), 6) AS tfidf
+                       FROM tf JOIN df USING (term) CROSS JOIN nd)
+            SELECT doc_id, term, tf, tfidf, CAST(rnk AS BIGINT) AS rnk
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term) AS rnk FROM s)
+            WHERE rnk <= 3""",
         # shared rank contract: value at 1-based rank floor(q*(N-1))+1
         "exact_percentiles": """
             WITH v AS (SELECT CAST(trunc(l_extendedprice*100) AS BIGINT) AS v

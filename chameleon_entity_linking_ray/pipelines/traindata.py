@@ -221,6 +221,122 @@ def doc_tokens_bpe(sf_dir: str) -> Dataset:
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def doc_chunks(sf_dir: str, max_tokens: int = 32,
+               overlap: int = 8) -> Dataset:
+    """Sliding-window document chunking (LLM context prep): whitespace
+    tokens windowed into chunks of ``max_tokens`` with ``overlap`` tokens
+    shared between neighbours (stride = max_tokens - overlap). Map-only
+    flat_map-shaped expansion; chunk text is rebuilt with ONE Arrow
+    ``binary_join`` over a gathered ListArray — no per-row Python.
+
+    Chunk contract (shared with the DuckDB oracle): chunk i covers tokens
+    [i*stride, i*stride+max_tokens); n_chunks = 1 if n <= max_tokens else
+    ceil((n-max_tokens)/stride)+1 (empty docs emit one empty chunk)."""
+    stride = max_tokens - overlap
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        toks = pc.split_pattern_regex(text, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = np.asarray(toks.offsets)
+        lens = np.diff(off)
+        # empty text splits to [''] — treat as zero tokens
+        empty = np.asarray(pc.equal(pc.utf8_length(text), 0)
+                           .to_numpy(zero_copy_only=False))
+        lens = np.where(empty, 0, lens)
+        nch = np.where(lens <= max_tokens, 1,
+                       -(-(lens - max_tokens) // stride) + 1).astype(np.int64)
+        total = int(nch.sum())
+        doc_of = np.repeat(np.arange(len(lens)), nch)
+        chunk_idx = np.arange(total) - np.repeat(np.cumsum(nch) - nch, nch)
+        start = chunk_idx * stride
+        end = np.minimum(start + max_tokens, lens[doc_of])
+        clen = np.maximum(end - start, 0)
+        # gather the (overlapping) token runs into one flat values array
+        coff = np.zeros(total + 1, np.int64)
+        np.cumsum(clen, out=coff[1:])
+        gather = (np.repeat(off[:-1][doc_of] + start, clen) +
+                  (np.arange(int(clen.sum())) - np.repeat(coff[:-1], clen)))
+        flat = toks.values.take(pa.array(gather, pa.int64()))
+        chunks = pa.ListArray.from_arrays(pa.array(coff, pa.int32()), flat)
+        ctext = pc.binary_join(chunks, " ")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of], pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "start_tok": pa.array(start, pa.int64()),
+            "n_chunk_tokens": pa.array(clen, pa.int64()),
+            "chunk_text": ctext,
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_keywords(sf_dir: str, k: int = 3) -> Dataset:
+    """Per-document top-k TF-IDF keywords: tf from a combiner groupby on
+    (doc, term), df from a second combiner groupby on the tf table (one
+    row per (doc, term) — already distinct), idf = ln(N/df) applied after
+    BROADCASTING the vocabulary-sized df table via ``ray.put`` (no shuffle
+    join against the wide side). Scores are rounded to 6 places BEFORE
+    ranking so engine and oracle rank identical values (raw float64 libm
+    could differ in the last ulp across engines)."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        toks = pc.split_pattern_regex(text, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = np.diff(np.asarray(toks.offsets))
+        empty = np.asarray(pc.equal(pc.utf8_length(text), 0)
+                           .to_numpy(zero_copy_only=False))
+        lens = np.where(empty, 0, lens)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        d = np.repeat(ids, lens)
+        w = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        keep = np.repeat(~empty, np.diff(np.asarray(toks.offsets)))
+        w = w[keep]
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "term": pa.array(w, pa.string())})
+
+    tf = grouped_agg(docs.map_batches(pairs, batch_format="pyarrow"),
+                     ["doc_id", "term"], {"tf": (None, "count")}).materialize()
+    df = grouped_agg(tf, ["term"], {"df": (None, "count")}).to_pandas()
+    dterms = df["term"].to_numpy(object)
+    order = np.argsort(dterms)
+    df_ref = ray.put((dterms[order], df["df"].to_numpy(np.int64)[order]))
+
+    class Score:
+        def __init__(self):
+            self.terms, self.df = ray.get(df_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = np.asarray(batch.column("term").to_pylist(), dtype=object)
+            pos = np.searchsorted(self.terms, t)
+            dfv = self.df[pos].astype(np.float64)
+            tfv = batch.column("tf").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            score = np.round(tfv * np.log(n_docs / dfv), 6)
+            return batch.append_column("tfidf", pa.array(score, pa.float64()))
+
+    scored = tf.map_batches(Score, batch_format="pyarrow",
+                            concurrency=(1, 4))
+    out = grouped_top_k(scored, group_keys=["doc_id"],
+                        by=["tfidf", "term"], ascending=[False, True],
+                        k=k, rank_col="rnk")
+
+    def shape(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.copy()
+        df_["rnk"] = df_["rnk"].astype(np.int64)
+        df_["tf"] = df_["tf"].astype(np.int64)
+        return df_[["doc_id", "term", "tf", "tfidf", "rnk"]]
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
 # ------------------------------------------------------------------ percentiles
 
 def _parquet_column_stats(path: str, column: str):

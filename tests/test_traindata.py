@@ -107,6 +107,67 @@ class TestNgrams:
             assert got.loc[d, "n_bpe_tokens"] == len(pat.findall(docs.loc[d, "text"]))
 
 
+class TestChunking:
+    def test_doc_chunks_match_serial_windows(self):
+        from chameleon_entity_linking_ray.pipelines.traindata import doc_chunks
+        got = doc_chunks(SF, max_tokens=32, overlap=8).to_pandas() \
+            .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        docs = _docs().sort_values("doc_id")
+        rows = []
+        for _, r in docs.iterrows():
+            toks = r["text"].strip().split() if r["text"].strip() else []
+            n = len(toks)
+            nch = 1 if n <= 32 else -(-(n - 32) // 24) + 1
+            for i in range(nch):
+                s = i * 24
+                rows.append((r["doc_id"], i, s, max(min(s + 32, n) - s, 0),
+                             " ".join(toks[s:min(s + 32, n)])))
+        want = pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "start_tok",
+                                           "n_chunk_tokens", "chunk_text"])
+        assert len(got) == len(want)
+        for c in want.columns:
+            assert got[c].tolist() == want[c].tolist(), c
+
+    def test_doc_chunks_cover_all_tokens_no_gaps(self):
+        """Every token index is covered by >= 1 chunk; consecutive chunks
+        overlap by exactly `overlap` except a short tail."""
+        from chameleon_entity_linking_ray.pipelines.traindata import doc_chunks
+        got = doc_chunks(SF, max_tokens=16, overlap=4).to_pandas()
+        for _, g in got.groupby("doc_id"):
+            g = g.sort_values("chunk_idx")
+            covered = set()
+            for _, r in g.iterrows():
+                covered |= set(range(r["start_tok"],
+                                     r["start_tok"] + r["n_chunk_tokens"]))
+            n = (g["start_tok"] + g["n_chunk_tokens"]).max()
+            assert covered == set(range(n))
+
+
+class TestKeywords:
+    def test_doc_keywords_match_pandas_tfidf(self):
+        from chameleon_entity_linking_ray.pipelines.traindata import doc_keywords
+        got = doc_keywords(SF, k=3).to_pandas() \
+            .sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+        docs = _docs()
+        n_docs = len(docs)
+        rows = []
+        for _, r in docs.iterrows():
+            for w in set(r["text"].strip().split()):
+                rows.append((r["doc_id"], w))
+        pairs = pd.DataFrame(rows, columns=["doc_id", "term"])
+        df_map = pairs.groupby("term").size()
+        out = []
+        for _, r in docs.iterrows():
+            toks = r["text"].strip().split()
+            tf = pd.Series(toks).value_counts()
+            score = (tf * np.log(n_docs / df_map[tf.index])).round(6)
+            top = sorted(zip(-score, tf.index))[:3]
+            out.extend((r["doc_id"], t, -s) for s, t in top)
+        want = pd.DataFrame(out, columns=["doc_id", "term", "tfidf"])
+        assert got["term"].tolist() == want["term"].tolist()
+        assert np.allclose(got["tfidf"], want["tfidf"], atol=1e-9)
+
+
 class TestPercentiles:
     def test_exact_percentiles_match_numpy(self):
         from chameleon_entity_linking_ray.pipelines.traindata import exact_percentiles
