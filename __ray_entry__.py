@@ -93,6 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_counts": A.distinct_counts,
         "asof_events_orders": A.asof_join_events_orders,
         "sessionize_events": A.sessionize_events,
+        "rolling_user_window": A.rolling_user_window,
+        "event_pairs_within": A.event_pairs_within,
+        "rollup_revenue": A.rollup_revenue,
         # --- text analysis (documents) ---
         "doc_tokens": C.doc_tokens,
         "doc_quality": C.doc_quality,
@@ -249,6 +252,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    MAX(ts_s) - MIN(ts_s) AS duration_s
             FROM s GROUP BY user_id, sid""",
+        # RANGE-mode rolling window: peers (equal ts) share one window on
+        # both sides, so tie order can never perturb the hash
+        "rolling_user_window": """
+            WITH e AS (SELECT event_id, user_id,
+                              epoch_us(ts) // 1000000 AS ts_s,
+                              CAST(trunc(value*100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id, ts_s,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS w_sum_c,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS w_count
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""",
+        # temporal-proximity self-join (interval band join, IEJoin class);
+        # canonical pair order = (ts, event_id) lexicographic
+        "event_pairs_within": """
+            WITH e AS (SELECT event_id, user_id,
+                              epoch_us(ts) // 1000000 AS ts_s FROM events)
+            SELECT a.event_id AS event_a, b.event_id AS event_b,
+                   b.ts_s - a.ts_s AS gap_s
+            FROM e a JOIN e b ON a.user_id = b.user_id
+              AND b.ts_s >= a.ts_s AND b.ts_s - a.ts_s <= 21600
+              AND (a.ts_s < b.ts_s OR a.event_id < b.event_id)""",
+        # ROLLUP grouping sets; lvl = GROUPING(r)*2 + GROUPING(n)
+        "rollup_revenue": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(trunc(o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS revenue_c,
+                   CAST(GROUPING(r_name)*2 + GROUPING(n_name) AS BIGINT)
+                       AS lvl
+            FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)""",
         "customers_no_orders": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)""",

@@ -432,3 +432,208 @@ def sessionize_events(sf_dir: str, gap_s: int = 1800,
 
     return ev.map_batches(prep, batch_format="pyarrow") \
         .groupby("bucket").map_groups(sessions, batch_format="pandas")
+
+
+def _epoch_seconds(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Unit-aware epoch seconds for timestamp columns (fixtures use ns,
+    testdata us) — int64 floor division, matching DuckDB's
+    ``epoch_us(ts) // 1000000``."""
+    unit = col.type.unit if isinstance(col.type, pa.TimestampType) else "s"
+    div = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
+    return pc.divide(col.cast(pa.int64()), div)
+
+
+def _user_ts_prep(num_buckets: int, seed: int, extra):
+    """Shared prep for the per-user time-window operators: project events
+    to (user_id:int64, ts_s:int64, bucket:int32, *extra) with bucket =
+    hash(user) — one shuffle key reused by every window op."""
+    from chameleon_entity_linking_ray.functions.hashing import mix64
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").cast(pa.int64()).combine_chunks()
+        u = uid.to_numpy(zero_copy_only=False)
+        cols = {
+            "user_id": uid,
+            "ts_s": _epoch_seconds(b.column("ts")),
+            "bucket": pa.array((mix64(u.astype(np.uint64), seed=seed)
+                                % np.uint64(num_buckets)).astype(np.int32),
+                               pa.int32()),
+        }
+        cols.update(extra(b))
+        return pa.table(cols)
+
+    return prep
+
+
+def rolling_user_window(sf_dir: str, window_s: int = 7 * 86400,
+                        num_buckets: int = 32) -> Dataset:
+    """RANGE-mode rolling window aggregate: for every event, the sum and
+    count of the SAME user's event values within the trailing time window
+    ``[ts - window_s, ts]`` — SQL's ``SUM(x) OVER (PARTITION BY user
+    ORDER BY ts RANGE BETWEEN w PRECEDING AND CURRENT ROW)``, an operator
+    Ray Data has no native form for.
+
+    Shape: ONE hash-bucket shuffle on user (the same key every window op
+    here uses), then a fully vectorized per-bucket kernel: sort by
+    (user, ts), offset each user's timestamps onto a disjoint int64 range
+    (rank * span), and resolve every row's window with two
+    ``np.searchsorted`` calls + a prefix-sum difference — no per-row or
+    per-user Python. RANGE semantics (peers with equal ts share one
+    window, so tie order can never change a value) make the output
+    deterministic under any within-bucket ordering.
+
+    Values are summed as integer cents (trunc(x*100), the module-wide
+    convention) so distributed summation order is irrelevant.
+    Partitioning assumption: one user's history fits a bucket group;
+    raise num_buckets at scale (buckets are hash-balanced over users).
+    """
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    prep = _user_ts_prep(num_buckets, seed=41, extra=lambda b: {
+        "event_id": b.column("event_id").cast(pa.int64()),
+        "cents": _cents(b.column("value")),
+    })
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_s"], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in
+                                 ("event_id", "user_id", "ts_s",
+                                  "w_sum_c", "w_count")})
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_s"].to_numpy()
+        cents = g["cents"].to_numpy()
+        # dense user rank -> offset each user onto a disjoint int64 range
+        # so ONE searchsorted over the combined key resolves per-user
+        # window boundaries (different users are >= span apart > window)
+        rank = np.cumsum(np.r_[0, uid[1:] != uid[:-1]])
+        t0 = ts.min()
+        span = (ts.max() - t0) + np.int64(window_s) + 2
+        combined = rank * span + (ts - t0)
+        hi = np.searchsorted(combined, combined, side="right")
+        lo = np.searchsorted(combined, combined - window_s, side="left")
+        cs = np.concatenate(([0], np.cumsum(cents)))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": uid,
+            "ts_s": ts,
+            "w_sum_c": (cs[hi] - cs[lo]).astype(np.int64),
+            "w_count": (hi - lo).astype(np.int64),
+        })
+
+    return ev.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(roll, batch_format="pandas")
+
+
+def event_pairs_within(sf_dir: str, window_s: int = 21600,
+                       num_buckets: int = 32) -> Dataset:
+    """Temporal-proximity self-join (banded range join): all PAIRS of a
+    user's events at most ``window_s`` seconds apart — equality on user +
+    inequality band on time, the join class (IEJoin / interval join) that
+    equality-keyed shuffles can't express.
+
+    Shape: one hash-bucket shuffle on user, then a vectorized per-bucket
+    kernel: sort by (user, ts, event_id), offset users onto disjoint
+    ranges, one ``np.searchsorted`` for every row's band end, and a
+    ragged-arange emission of (anchor, partner) index pairs — zero
+    per-pair Python. Pair order is canonical: (ts, event_id)
+    lexicographic, so (a, b) is emitted exactly once with
+    ts_a <= ts_b (event_id_a < event_id_b on ties).
+
+    Output size is data-bounded (sum over users of within-window pair
+    counts); at 100 TB pick window_s so the per-user rate keeps
+    pairs-per-event O(1) and raise num_buckets — the kernel's cost is
+    linear in emitted pairs, never all-pairs.
+    """
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "user_id"])
+    prep = _user_ts_prep(num_buckets, seed=43, extra=lambda b: {
+        "event_id": b.column("event_id").cast(pa.int64()),
+    })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_s", "event_id"], kind="mergesort")
+        n = len(g)
+        out_empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in
+                                  ("event_a", "event_b", "gap_s")})
+        if n == 0:
+            return out_empty
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_s"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        rank = np.cumsum(np.r_[0, uid[1:] != uid[:-1]])
+        t0 = ts.min()
+        span = (ts.max() - t0) + np.int64(window_s) + 2
+        combined = rank * span + (ts - t0)
+        hi = np.searchsorted(combined, combined + window_s, side="right")
+        idx = np.arange(n)
+        counts = hi - idx - 1          # partners strictly after the anchor
+        total = int(counts.sum())
+        if total == 0:
+            return out_empty
+        idx_a = np.repeat(idx, counts)
+        # ragged arange: for anchor i the partners are i+1 .. hi[i]-1
+        starts = np.cumsum(counts) - counts
+        idx_b = np.arange(total) - np.repeat(starts, counts) \
+            + np.repeat(idx + 1, counts)
+        return pd.DataFrame({
+            "event_a": eid[idx_a],
+            "event_b": eid[idx_b],
+            "gap_s": (ts[idx_b] - ts[idx_a]).astype(np.int64),
+        })
+
+    return ev.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def rollup_revenue(sf_dir: str) -> Dataset:
+    """GROUPING-SETS / ROLLUP aggregate: revenue by (region, nation) plus
+    per-region subtotals and a grand total — SQL's
+    ``GROUP BY ROLLUP(r_name, n_name)`` with ``lvl`` mirroring
+    ``GROUPING(r_name)*2 + GROUPING(n_name)`` (0 detail, 1 region
+    subtotal, 3 grand total).
+
+    Shape: the fact stream (orders) takes two broadcast dimension merges
+    (customer -> nation -> region are the small sides) and ONE combiner
+    grouped_agg down to the finest grain (|regions| x |nations| rows);
+    the rollup expansion then runs over that tiny aggregate in a single
+    map_batches — O(groups), never O(rows), so the subtotal pass costs
+    nothing at any scale.
+    """
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"])
+    region = read_table(sf_dir, "region")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "total_c": _cents(batch.column("o_totalprice"))})
+
+    j = broadcast_hash_join(orders.map_batches(prep, batch_format="pyarrow"),
+                            cust, on=("o_custkey",),
+                            right_on=("c_custkey",), join_type="inner")
+    j = broadcast_hash_join(j, nation, on=("c_nationkey",),
+                            right_on=("n_nationkey",), join_type="inner")
+    j = broadcast_hash_join(j, region, on=("n_regionkey",),
+                            right_on=("r_regionkey",), join_type="inner")
+    fine = grouped_agg(j, keys=["r_name", "n_name"],
+                       aggs={"revenue_c": ("total_c", "sum")})
+
+    _OUT = pa.schema([("r_name", pa.string()), ("n_name", pa.string()),
+                      ("revenue_c", pa.int64()), ("lvl", pa.int64())])
+
+    def expand(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        detail = df.assign(lvl=np.int64(0))
+        sub = df.groupby("r_name", sort=False, as_index=False)["revenue_c"] \
+            .sum().assign(n_name=None, lvl=np.int64(1))
+        grand = pd.DataFrame({"r_name": [None], "n_name": [None],
+                              "revenue_c": [df["revenue_c"].sum()],
+                              "lvl": np.int64(3)})
+        out = pd.concat([detail, sub, grand], ignore_index=True)
+        return pa.Table.from_pandas(
+            out[["r_name", "n_name", "revenue_c", "lvl"]],
+            schema=_OUT, preserve_index=False)
+
+    # the fine aggregate is |nations| rows — one block, one expansion pass
+    return fine.repartition(1).map_batches(expand, batch_format="pyarrow")

@@ -1,0 +1,133 @@
+"""Window-class operators: RANGE-mode rolling aggregate, temporal
+proximity self-join (interval band join), and ROLLUP grouping sets.
+
+Each is pinned against a brute-force per-user Python reference on a
+fixture that includes timestamp TIES, so RANGE peer semantics (equal-ts
+rows share one window) and canonical pair ordering are exercised — the
+DuckDB value oracle in __ray_entry__ is the second, independent check.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events_fixture(tmp_path, seed=11, n=400, users=7):
+    rng = np.random.default_rng(seed)
+    ts_s = rng.integers(1_700_000_000, 1_700_000_000 + 40 * 86400, n)
+    ts_s[50:60] = ts_s[40:50]  # force cross-row ties (same + mixed users)
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(ts_s, unit="s"),
+        "user_id": rng.integers(1, users + 1, n).astype(np.int64),
+        "value": rng.uniform(0, 50, n),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ev.to_parquet(sf / "events.parquet")
+    ev["ts_s"] = ev["ts"].astype(np.int64) // 10**9
+    ev["cents"] = np.trunc(ev["value"].to_numpy() * 100).astype(np.int64)
+    return str(sf), ev
+
+
+class TestRollingUserWindow:
+    def test_matches_bruteforce_range_semantics(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            rolling_user_window,
+        )
+        w = 5 * 86400
+        sf, ev = _events_fixture(tmp_path)
+        got = rolling_user_window(sf, window_s=w).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+
+        rows = []
+        for _, r in ev.iterrows():
+            mask = (ev["user_id"] == r["user_id"]) & \
+                (ev["ts_s"] >= r["ts_s"] - w) & (ev["ts_s"] <= r["ts_s"])
+            rows.append((r["event_id"], r["user_id"], r["ts_s"],
+                         int(ev.loc[mask, "cents"].sum()), int(mask.sum())))
+        ref = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_s",
+                                          "w_sum_c", "w_count"]) \
+            .sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.astype(np.int64),
+                                      ref.astype(np.int64))
+
+    def test_ties_share_one_window(self, tmp_path):
+        # all three rows at the same (user, ts): every row's window must
+        # include all peers — RANGE, not ROWS, semantics
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            rolling_user_window,
+        )
+        ev = pd.DataFrame({
+            "event_id": np.arange(3, dtype=np.int64),
+            "ts": pd.to_datetime([1000, 1000, 1000], unit="s"),
+            "user_id": np.array([1, 1, 1], dtype=np.int64),
+            "value": [1.0, 2.0, 4.0],
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        ev.to_parquet(sf / "events.parquet")
+        got = rolling_user_window(str(sf), window_s=10).to_pandas()
+        assert (got["w_sum_c"] == 700).all()
+        assert (got["w_count"] == 3).all()
+
+
+class TestEventPairsWithin:
+    def test_matches_bruteforce(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            event_pairs_within,
+        )
+        w = 2 * 86400
+        sf, ev = _events_fixture(tmp_path)
+        got = event_pairs_within(sf, window_s=w).to_pandas() \
+            .sort_values(["event_a", "event_b"]).reset_index(drop=True)
+
+        rows = []
+        e = ev[["event_id", "user_id", "ts_s"]].to_numpy()
+        for i in range(len(e)):
+            for j in range(len(e)):
+                if i == j or e[i, 1] != e[j, 1]:
+                    continue
+                lex = (e[i, 2], e[i, 0]) < (e[j, 2], e[j, 0])
+                if lex and e[j, 2] - e[i, 2] <= w:
+                    rows.append((e[i, 0], e[j, 0], e[j, 2] - e[i, 2]))
+        ref = pd.DataFrame(rows, columns=["event_a", "event_b", "gap_s"]) \
+            .sort_values(["event_a", "event_b"]).reset_index(drop=True)
+        assert len(ref) > 0
+        pd.testing.assert_frame_equal(got.astype(np.int64),
+                                      ref.astype(np.int64))
+
+    def test_each_pair_emitted_once_under_ties(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            event_pairs_within,
+        )
+        ev = pd.DataFrame({
+            "event_id": np.array([5, 3, 9], dtype=np.int64),
+            "ts": pd.to_datetime([100, 100, 100], unit="s"),
+            "user_id": np.array([1, 1, 1], dtype=np.int64),
+            "value": [0.0, 0.0, 0.0],
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        ev.to_parquet(sf / "events.parquet")
+        got = event_pairs_within(str(sf), window_s=10).to_pandas() \
+            .sort_values(["event_a", "event_b"]).reset_index(drop=True)
+        # 3 tied rows -> exactly C(3,2) pairs, id-ordered, gap 0
+        assert got.values.tolist() == [[3, 5, 0], [3, 9, 0], [5, 9, 0]]
+
+
+class TestRollupRevenue:
+    def test_levels_are_consistent(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            rollup_revenue,
+        )
+        got = rollup_revenue("/root/testdata/sf0.001").to_pandas()
+        detail = got[got["lvl"] == 0]
+        sub = got[got["lvl"] == 1]
+        grand = got[got["lvl"] == 3]
+        assert len(grand) == 1
+        assert grand["revenue_c"].iloc[0] == detail["revenue_c"].sum()
+        by_region = detail.groupby("r_name")["revenue_c"].sum()
+        for _, r in sub.iterrows():
+            assert r["revenue_c"] == by_region[r["r_name"]]
+            assert pd.isna(r["n_name"])
