@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": C.dedup_exact,
         "minhash_dup_pairs": C.minhash_dup_pairs,
         "simhash_docs": C.simhash_docs,
+        "simhash_dup_pairs": C.simhash_dup_pairs,
+        "doc_repetition": C.doc_repetition,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "embedding_near_dups": C.embedding_near_dups,
         "embedding_near_dups_lsh": C.embedding_near_dups_lsh,
@@ -395,6 +397,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.h, 0::UBIGINT) >> 48 AS BIGINT)
                        AS simhash_prefix
             FROM documents d LEFT JOIN hashes h USING (doc_id)""",
+        # Charikar SimHash near-dup pairs: banded candidates (pigeonhole-
+        # exact for hamming <= 3 with 4 bands) + XOR popcount disposal
+        "simhash_dup_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split_regex(trim(text),
+                                                               '\s+'))) AS t
+                FROM documents WHERE length(trim(text)) > 0
+            ), bits AS (
+                SELECT doc_id, j,
+                       SUM(CASE WHEN ((('0x' || substr(md5(t), 1, 16))::UBIGINT
+                                       >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                FROM toks CROSS JOIN generate_series(0, 63) g(j)
+                GROUP BY doc_id, j
+            ), hashes AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN s > 0 THEN (1::UBIGINT << j)
+                                     ELSE 0::UBIGINT END) AS UBIGINT) AS h
+                FROM bits GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, h, j AS band,
+                       CAST((h >> (j*16)) & 65535 AS BIGINT) AS bv
+                FROM hashes CROSS JOIN generate_series(0, 3) g(j)
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.h AS ha, b.h AS hb
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bv = b.bv
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3""",
+        # Gopher-style within-doc repetition stats; empty docs emit zeros
+        "doc_repetition": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(trim(text),
+                                                         '\s+')) AS t
+                FROM documents WHERE length(trim(text)) > 0
+            ), wc AS (
+                SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t
+            ), agg AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                       CAST(MAX(c) AS BIGINT) AS top_word_n,
+                       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                            AS BIGINT) AS dup_word_n
+                FROM wc GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+                   coalesce(n_distinct, 0) AS n_distinct,
+                   coalesce(top_word_n, 0) AS top_word_n,
+                   coalesce(dup_word_n, 0) AS dup_word_n
+            FROM documents d LEFT JOIN agg USING (doc_id)""",
         "ngram_jaccard_pairs": """
             WITH sets AS (
                 SELECT doc_id, list_distinct([substring(text, i, 8)

@@ -341,6 +341,54 @@ def minhash_dup_pairs(sf_dir: str, threshold: float = 0.5, k: int = 8,
     return exact_jaccard_filter(cand, docs, k, threshold)
 
 
+def _simhash_u64(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash per text over its DISTINCT whitespace tokens, as
+    uint64 — the shared kernel behind ``simhash_docs`` (signatures) and
+    ``simhash_dup_pairs`` (Hamming near-dup detection).
+
+    Token hash = first 16 hex chars of md5(token) so the DuckDB oracle
+    reproduces the exact bits; bit j is set iff the signed bit-j vote sum
+    over tokens is > 0. md5 runs once per DISTINCT token per batch."""
+    import hashlib
+    bit_idx = np.arange(64, dtype=np.uint64)
+    tok_lists = [sorted(set(t.split())) for t in texts]
+    cache: dict[str, int] = {}
+    for ts in tok_lists:
+        for t in ts:
+            if t not in cache:
+                cache[t] = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+    n = len(texts)
+    sims = np.zeros(n, dtype=np.uint64)
+    counts = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+    flat = np.fromiter((cache[t] for ts in tok_lists for t in ts),
+                       np.uint64, int(counts.sum()))
+    if flat.size:
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        bits = ((flat[:, None] >> bit_idx) & np.uint64(1)) \
+            .astype(np.int32) * 2 - 1  # [n_tokens, 64] in {-1, +1}
+        # reduceat needs non-empty segments: pad trick via valid starts
+        sums = np.zeros((n, 64), np.int64)
+        nonempty = np.flatnonzero(counts)
+        if len(nonempty):
+            sums[nonempty] = np.add.reduceat(bits, offsets[nonempty], axis=0)
+        simbits = (sums > 0).astype(np.uint64)
+        sims = (simbits << bit_idx).sum(axis=1, dtype=np.uint64)
+    return sims
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — no Python loop, no lookup
+    table allocation per call."""
+    v = v.astype(np.uint64, copy=True)
+    v -= (v >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    v = (v & np.uint64(0x3333333333333333)) \
+        + ((v >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((v * np.uint64(0x0101010101010101)) >> np.uint64(56)) \
+        .astype(np.int64)
+
+
 def simhash_docs(sf_dir: str, config: LinkageConfig | None = None) -> Dataset:
     """64-bit SimHash per document over its DISTINCT whitespace tokens —
     near-dup docs land at small Hamming distance; the 16-bit prefix is a
@@ -351,35 +399,11 @@ def simhash_docs(sf_dir: str, config: LinkageConfig | None = None) -> Dataset:
     bit j of the simhash is set iff sum over tokens of (bit_j ? +1 : -1)
     is > 0. md5 runs once per DISTINCT token per batch (cached); the
     100 TB path swaps in the vectorized keyed hash, same dataflow."""
-    import hashlib
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    bit_idx = np.arange(64, dtype=np.uint64)
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        tok_lists = [sorted(set(t.split())) for t in texts]
-        cache: dict[str, int] = {}
-        for ts in tok_lists:
-            for t in ts:
-                if t not in cache:
-                    cache[t] = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
-        n = len(texts)
-        sims = np.zeros(n, dtype=np.uint64)
-        counts = np.fromiter((len(t) for t in tok_lists), np.int64, n)
-        flat = np.fromiter((cache[t] for ts in tok_lists for t in ts),
-                           np.uint64, int(counts.sum()))
-        if flat.size:
-            offsets = np.zeros(n + 1, np.int64)
-            np.cumsum(counts, out=offsets[1:])
-            bits = ((flat[:, None] >> bit_idx) & np.uint64(1)) \
-                .astype(np.int32) * 2 - 1  # [n_tokens, 64] in {-1, +1}
-            # reduceat needs non-empty segments: pad trick via valid starts
-            sums = np.zeros((n, 64), np.int64)
-            nonempty = np.flatnonzero(counts)
-            if len(nonempty):
-                sums[nonempty] = np.add.reduceat(bits, offsets[nonempty], axis=0)
-            simbits = (sums > 0).astype(np.uint64)
-            sims = (simbits << bit_idx).sum(axis=1, dtype=np.uint64)
+        sims = _simhash_u64(texts)
         hexes = [format(int(s), "016x") for s in sims]
         return pa.table({
             "doc_id": batch.column("doc_id"),
@@ -800,3 +824,133 @@ def linkage_parts(sf_dir: str, config: LinkageConfig | None = None) -> Dataset:
     clustered, _ = run_linkage(parts_transcripts(sf_dir),
                                config or LinkageConfig())
     return clustered
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3,
+                      n_bands: int = 4) -> Dataset:
+    """SimHash near-duplicate PAIRS: all doc pairs whose 64-bit SimHash
+    signatures differ in at most ``max_hamming`` bits among candidates
+    sharing at least one 16-bit signature band — the classic
+    Charikar-style near-dup detector as a banded shuffle.
+
+    Shape: one map_batches computes signatures and fans each doc out to
+    its ``n_bands`` (band, band_value) keys; one groupby co-locates band
+    buckets; the per-bucket kernel is a vectorized XOR + SWAR-popcount
+    matrix over the bucket (buckets are 16-bit-key-bounded). Pairs are
+    emitted EXACTLY ONCE with no dedup shuffle: a pair found in band j is
+    emitted only if no band j' < j also matches (the first-matching-band
+    rule — each side of the pair can check it locally from the two
+    signatures). By the pigeonhole principle 4 bands catch every pair
+    with Hamming <= 3, so the candidate set is exact, not approximate.
+
+    Scale: bucket width is data-dependent (near-identical corpora
+    concentrate); the kernel is O(bucket^2) XORs — cheap vector ops — and
+    at web scale real 64-bit signatures keep 16-bit buckets small. For
+    adversarially hot buckets, raise n_bands' band width or apply the
+    windowed-pairing cap used by minhash_dup_pairs (documented
+    divergence: capping breaks the exactness contract the oracle checks).
+    """
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        sims = _simhash_u64(batch.column("text").to_pylist())
+        n = len(sims)
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bands = np.arange(n_bands, dtype=np.uint64)
+        bv = (sims[:, None] >> (bands * np.uint64(width))) & mask
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_id, n_bands), pa.int64()),
+            "sig": pa.array(np.repeat(sims, n_bands).view(np.int64)),
+            "band": pa.array(np.tile(bands.astype(np.int64), n),
+                             pa.int64()),
+            "bv": pa.array(bv.reshape(-1).view(np.int64)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in
+                                  ("doc_a", "doc_b", "hamming")})
+        n = len(g)
+        if n < 2:
+            return out_empty
+        g = g.sort_values("doc_id", kind="mergesort")
+        sig = g["sig"].to_numpy().view(np.uint64)
+        doc = g["doc_id"].to_numpy()
+        band = int(g["band"].iloc[0])
+        x = sig[:, None] ^ sig[None, :]
+        hd = _popcount64(x.reshape(-1)).reshape(n, n)
+        cand = np.triu(hd <= max_hamming, k=1)
+        # first-matching-band rule: skip pairs an earlier band also holds
+        for j in range(band):
+            bj = (sig >> np.uint64(j * width)) & mask
+            cand &= bj[:, None] != bj[None, :]
+        ia, ib = np.nonzero(cand)
+        if not len(ia):
+            return out_empty
+        return pd.DataFrame({
+            "doc_a": doc[ia].astype(np.int64),
+            "doc_b": doc[ib].astype(np.int64),
+            "hamming": hd[ia, ib].astype(np.int64),
+        })
+
+    return docs.map_batches(to_bands, batch_format="pyarrow") \
+        .groupby(["band", "bv"]).map_groups(bucket_pairs,
+                                            batch_format="pandas")
+
+
+def doc_repetition(sf_dir: str) -> Dataset:
+    """Gopher-style within-document repetition statistics over whitespace
+    tokens — the quality signals used to filter repetitive machine text
+    from LLM training corpora: total/distinct word counts, the most
+    frequent word's multiplicity, and the number of tokens belonging to
+    words that repeat (count >= 2).
+
+    Map-only and embarrassingly parallel: per batch, one pandas
+    two-level groupby over the flattened (doc, token) table — no
+    shuffles, no driver work, integer outputs so hashes never wobble.
+    Docs with no tokens emit an all-zero row (every input doc appears
+    exactly once).
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        toks = [t.split() for t in texts]
+        counts = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+        flat = pd.DataFrame({
+            "d": np.repeat(np.arange(len(toks)), counts),
+            "t": np.concatenate([np.asarray(t, dtype=object)
+                                 for t in toks]) if counts.sum()
+            else np.array([], dtype=object),
+        })
+        n = len(toks)
+        n_words = np.zeros(n, np.int64)
+        n_distinct = np.zeros(n, np.int64)
+        top_word_n = np.zeros(n, np.int64)
+        dup_word_n = np.zeros(n, np.int64)
+        if len(flat):
+            wc = flat.groupby(["d", "t"], sort=False).size()
+            per_doc = wc.groupby(level="d")
+            agg = pd.DataFrame({
+                "n_words": per_doc.sum(),
+                "n_distinct": per_doc.size(),
+                "top_word_n": per_doc.max(),
+                "dup_word_n": wc.where(wc >= 2, 0).groupby(level="d").sum(),
+            })
+            idx = agg.index.to_numpy()
+            n_words[idx] = agg["n_words"]
+            n_distinct[idx] = agg["n_distinct"]
+            top_word_n[idx] = agg["top_word_n"]
+            dup_word_n[idx] = agg["dup_word_n"]
+        return pa.table({
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "n_words": pa.array(n_words),
+            "n_distinct": pa.array(n_distinct),
+            "top_word_n": pa.array(top_word_n),
+            "dup_word_n": pa.array(dup_word_n),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")
