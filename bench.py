@@ -37,6 +37,7 @@ QUERY_NAMES = [
     "merge_runs", "doc_langid", "minhash_dup_pairs", "ngram_jaccard_pairs",
     "ann_topk", "ir_metrics", "linkage_parts", "asof_events_orders",
     "sessionize_events", "pack_sequences", "top_ngrams", "exact_percentiles",
+    "rolling_user_window", "event_pairs_within", "simhash_dup_pairs",
 ]
 
 
