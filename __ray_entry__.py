@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_window": A.rolling_user_window,
         "event_pairs_within": A.event_pairs_within,
         "rollup_revenue": A.rollup_revenue,
+        "cume_dist_orders": A.cume_dist_orders,
+        "triangles_copurchase": _q_triangles,
         # --- text analysis (documents) ---
         "doc_tokens": C.doc_tokens,
         "doc_quality": C.doc_quality,
@@ -144,6 +146,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": T.doc_chunks,
         "doc_keywords": T.doc_keywords,
     }
+
+
+def _q_triangles(sf_dir):
+    from chameleon_entity_linking_ray.stages.graph import triangles_copurchase
+    return triangles_copurchase(sf_dir)
 
 
 def _q_bfs(sf_dir):
@@ -276,6 +283,35 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.user_id = b.user_id
               AND b.ts_s >= a.ts_s AND b.ts_s - a.ts_s <= 21600
               AND (a.ts_s < b.ts_s OR a.event_id < b.event_id)""",
+        # global CDF: tie-deterministic CUME_DIST; int/int division is
+        # bit-identical IEEE double on both engines
+        "cume_dist_orders": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(trunc(o_totalprice*100) AS BIGINT)
+                                  AS total_c
+                       FROM orders)
+            SELECT o_orderkey, total_c,
+                   CUME_DIST() OVER (ORDER BY total_c) AS cume_dist
+            FROM o""",
+        # per-node triangle counts: canonical src<dst edge set, 3-way
+        # self-join, each triangle credits its three corners
+        "triangles_copurchase": """
+            WITH pairs AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey != b.l_partkey
+            ), und AS (SELECT src, dst FROM pairs WHERE src < dst),
+            tri AS (
+                SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                FROM und e1 JOIN und e2 ON e2.src = e1.dst
+                  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+            )
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b AS node FROM tri
+                UNION ALL SELECT c AS node FROM tri) t(node)
+            GROUP BY node""",
         # ROLLUP grouping sets; lvl = GROUPING(r)*2 + GROUPING(n)
         "rollup_revenue": """
             SELECT r_name, n_name,

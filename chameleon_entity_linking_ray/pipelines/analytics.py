@@ -637,3 +637,65 @@ def rollup_revenue(sf_dir: str) -> Dataset:
 
     # the fine aggregate is |nations| rows — one block, one expansion pass
     return fine.repartition(1).map_batches(expand, batch_format="pyarrow")
+
+
+def cume_dist_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """Global cumulative distribution (SQL ``CUME_DIST() OVER (ORDER BY
+    total)``) for every order — a GLOBAL rank computed WITHOUT a global
+    sort: one combiner grouped_agg down to per-distinct-value counts, a
+    worker-side sort+cumsum over that small value table, one broadcast,
+    and a map-side searchsorted per batch.
+
+    The shuffle cost is O(distinct values), not O(rows) — the all-to-all
+    a naive ``sort + row_number`` pays never happens. CUME_DIST (unlike
+    NTILE / ROW_NUMBER) is tie-deterministic: equal values share a rank,
+    so the output is reproducible under any partitioning. cume_dist =
+    (# rows <= mine) / N as an exact int/int division — bit-identical in
+    IEEE double on both engines.
+
+    Partitioning assumption: the distinct-value table fits a broadcast
+    (bounded by the value domain — cents here). Where it can't, swap the
+    broadcast for a range-bucketed prefix-sum (same two-phase dataflow
+    as traindata.exact_percentiles).
+    """
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "total_c": _cents(batch.column("o_totalprice"))})
+
+    withc = orders.map_batches(prep, batch_format="pyarrow")
+    counts = grouped_agg(withc, keys=["total_c"],
+                         aggs={"n": (None, "count")},
+                         num_buckets=num_buckets)
+
+    @ray.remote
+    def cdf_table(*blocks) -> tuple[np.ndarray, np.ndarray, int]:
+        tbls = [b if isinstance(b, pa.Table)
+                else pa.Table.from_pandas(b, preserve_index=False)
+                for b in blocks]
+        tbls = [t for t in tbls if t.num_rows]
+        if not tbls:
+            return np.empty(0, np.int64), np.empty(0, np.int64), 0
+        t = pa.concat_tables(tbls)
+        vals = t.column("total_c").to_numpy(zero_copy_only=False)
+        ns = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(vals, kind="mergesort")
+        vals, ns = vals[order], ns[order]
+        cum = np.cumsum(ns)
+        return vals.astype(np.int64), cum.astype(np.int64), int(cum[-1])
+
+    # sorted (value, cumulative-count) assembled in a WORKER task from the
+    # aggregate's block refs; the driver only holds the object ref
+    ref = cdf_table.remote(*counts.to_arrow_refs())
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vals, cum, n = ray.get(ref)
+        tc = batch.column("total_c").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vals, tc, side="right")
+        le = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
+        return batch.append_column(
+            "cume_dist", pa.array(le.astype(np.float64) / float(n),
+                                  pa.float64()))
+
+    return withc.map_batches(attach, batch_format="pyarrow")

@@ -487,3 +487,130 @@ def ppr_copurchase(sf_dir: str, seed_part: int = 0) -> Dataset:
     from chameleon_entity_linking_ray.stages.agg import top_k
     return top_k(ranks.map_batches(shape, batch_format="pandas"),
                  by=["rank", "node"], ascending=[False, True], k=20)
+
+
+def triangle_counts(edges: Dataset, num_buckets: int = 32) -> Dataset:
+    """Per-node triangle counts on an undirected graph — the classic
+    degree-ordered orientation algorithm as two bucketed shuffles + one
+    distributed hash join, never an all-pairs pass.
+
+    Steps:
+      1. canonicalize to one row per undirected edge (src < dst);
+      2. degree per node (combiner grouped_agg over both endpoints);
+      3. orient every edge from the (degree, id)-smaller node to the
+         larger — each node's OUT-degree is then O(sqrt(m)), which kills
+         hub skew in step 4 (a hub's edges point INTO it);
+      4. wedges: bucket oriented edges by src, per src emit ordered
+         out-neighbor pairs (vectorized ragged-arange, no per-node
+         Python) — each triangle yields exactly one wedge, at its
+         (degree, id)-minimal corner;
+      5. close: distributed hash join of wedges against oriented edges;
+      6. per-node counts: each triangle credits its three corners
+         (flat emission + combiner grouped_agg).
+
+    The node->degree-rank map is broadcast once (``ray.put``) — nodes are
+    a dimension table here; at graphs where the node table outgrows a
+    broadcast, replace step 3's lookup with two hash joins on src/dst
+    (same dataflow, two more shuffles).
+    """
+    def und(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch.column("src"), batch.column("dst")))
+        return pa.table({"src": t.column("src").cast(pa.int64()),
+                         "dst": t.column("dst").cast(pa.int64())})
+
+    u = edges.map_batches(und, batch_format="pyarrow")
+
+    def both_ends(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([s, d]), pa.int64())})
+
+    deg = grouped_agg(u.map_batches(both_ends, batch_format="pyarrow"),
+                      keys=["node"], aggs={"deg": (None, "count")},
+                      num_buckets=num_buckets)
+    degdf = deg.to_pandas()
+    # dense total order on nodes by (degree, id): rank = position in the
+    # lexsorted node list; broadcast node -> rank once
+    order = np.lexsort((degdf["node"].to_numpy(), degdf["deg"].to_numpy()))
+    ranks = np.empty(len(order), np.int64)
+    ranks[order] = np.arange(len(order), dtype=np.int64)
+    rank_of = pd.Series(ranks, index=degdf["node"].to_numpy())
+    rank_ref = ray.put(rank_of)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        r = ray.get(rank_ref)
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        rs = r.to_numpy()[r.index.get_indexer(s)]
+        rd = r.to_numpy()[r.index.get_indexer(d)]
+        flip = rs > rd
+        os_, od_ = np.where(flip, d, s), np.where(flip, s, d)
+        rs, rd = np.where(flip, rd, rs), np.where(flip, rs, rd)
+        return pa.table({
+            "src": pa.array(os_, pa.int64()),
+            "dst": pa.array(od_, pa.int64()),
+            "dkey": pa.array(rd, pa.int64()),
+            "wbucket": pa.array((mix64(os_.astype(np.uint64), seed=83)
+                                 % np.uint64(num_buckets)).astype(np.int32),
+                                pa.int32()),
+        })
+
+    oriented = u.map_batches(orient, batch_format="pyarrow")
+
+    def wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in
+                                  ("u", "v", "center")})
+        g = g.sort_values(["src", "dkey"], kind="mergesort")
+        n = len(g)
+        if n < 2:
+            return out_empty
+        src = g["src"].to_numpy()
+        dst = g["dst"].to_numpy()
+        # per-src runs: each anchor pairs with every later out-neighbor
+        # of the same src (dkey-sorted, so u precedes v in rank order)
+        run_start = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        run_len = np.diff(np.r_[run_start, n])
+        run_end = np.repeat(run_start + run_len, run_len)
+        idx = np.arange(n)
+        counts = run_end - idx - 1
+        total = int(counts.sum())
+        if total == 0:
+            return out_empty
+        ia = np.repeat(idx, counts)
+        starts = np.cumsum(counts) - counts
+        ib = np.arange(total) - np.repeat(starts, counts) \
+            + np.repeat(idx + 1, counts)
+        return pd.DataFrame({"u": dst[ia], "v": dst[ib], "center": src[ia]})
+
+    wedges = oriented.groupby("wbucket").map_groups(wedge_rows,
+                                                    batch_format="pandas")
+
+    _W = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                    ("center", pa.int64())])
+    _E = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def edge_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("src"),
+                         "dst": batch.column("dst")}, schema=_E)
+
+    tri = hash_join(wedges, oriented.map_batches(edge_only,
+                                                 batch_format="pyarrow"),
+                    on=("u", "v"), right_on=("src", "dst"),
+                    num_partitions=num_buckets, schemas=(_W, _E))
+
+    def corners(batch: pa.Table) -> pa.Table:
+        cols = [batch.column("u").to_numpy(zero_copy_only=False),
+                batch.column("v").to_numpy(zero_copy_only=False),
+                batch.column("center").to_numpy(zero_copy_only=False)]
+        return pa.table({"node": pa.array(np.concatenate(cols), pa.int64())})
+
+    return grouped_agg(tri.map_batches(corners, batch_format="pyarrow"),
+                       keys=["node"], aggs={"n_triangles": (None, "count")},
+                       num_buckets=num_buckets)
+
+
+def triangles_copurchase(sf_dir: str) -> Dataset:
+    """Per-part triangle counts on the co-purchase graph (oracle: 3-way
+    self-join on the canonical src<dst edge set + UNION ALL corner
+    count)."""
+    return triangle_counts(copurchase_edges(sf_dir))
