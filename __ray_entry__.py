@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": A.rollup_revenue,
         "cume_dist_orders": A.cume_dist_orders,
         "triangles_copurchase": _q_triangles,
+        "segment_percentiles": A.segment_percentiles,
+        "pivot_revenue": A.pivot_revenue,
         # --- text analysis (documents) ---
         "doc_tokens": C.doc_tokens,
         "doc_quality": C.doc_quality,
@@ -283,6 +285,41 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.user_id = b.user_id
               AND b.ts_s >= a.ts_s AND b.ts_s - a.ts_s <= 21600
               AND (a.ts_s < b.ts_s OR a.event_id < b.event_id)""",
+        # exact grouped percentiles via PERCENTILE_DISC; q are exact
+        # binary fractions so the cum >= q*n boundary agrees bit-for-bit
+        "segment_percentiles": """
+            SELECT c_mktsegment,
+              CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY
+                   CAST(trunc(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                  AS p25_c,
+              CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY
+                   CAST(trunc(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                  AS p50_c,
+              CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY
+                   CAST(trunc(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                  AS p75_c
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        # pivot as conditional aggregation (columns = the fixed TPC-H
+        # segment enumeration, missing cells 0 on both engines)
+        "pivot_revenue": """
+            SELECT r_name,
+              CAST(SUM(CASE WHEN c_mktsegment='AUTOMOBILE' THEN total_c
+                       ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+              CAST(SUM(CASE WHEN c_mktsegment='BUILDING' THEN total_c
+                       ELSE 0 END) AS BIGINT) AS "BUILDING",
+              CAST(SUM(CASE WHEN c_mktsegment='FURNITURE' THEN total_c
+                       ELSE 0 END) AS BIGINT) AS "FURNITURE",
+              CAST(SUM(CASE WHEN c_mktsegment='HOUSEHOLD' THEN total_c
+                       ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+              CAST(SUM(CASE WHEN c_mktsegment='MACHINERY' THEN total_c
+                       ELSE 0 END) AS BIGINT) AS "MACHINERY"
+            FROM (SELECT r_name, c_mktsegment,
+                         CAST(trunc(o_totalprice*100) AS BIGINT) AS total_c
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey)
+            GROUP BY r_name""",
         # global CDF: tie-deterministic CUME_DIST; int/int division is
         # bit-identical IEEE double on both engines
         "cume_dist_orders": """

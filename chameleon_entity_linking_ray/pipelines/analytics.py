@@ -699,3 +699,116 @@ def cume_dist_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
                                   pa.float64()))
 
     return withc.map_batches(attach, batch_format="pyarrow")
+
+
+def segment_percentiles(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """Exact grouped percentiles (SQL ``PERCENTILE_DISC(q) WITHIN
+    GROUP``) of order totals per market segment — computed in combiner
+    form: ONE grouped value-count aggregate down to (segment, value,
+    count), then a per-segment weighted-percentile kernel over that
+    small distinct table. The shuffle carries O(groups x distinct
+    values), never rows, so a segment with a billion orders costs the
+    same as one with a thousand.
+
+    q in {0.25, 0.5, 0.75}: exact binary fractions, so the
+    ``cum >= q*n`` boundary compare is bit-identical to DuckDB's
+    PERCENTILE_DISC (min value whose cumulative count reaches q*n).
+    """
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "total_c": _cents(batch.column("o_totalprice"))})
+
+    j = broadcast_hash_join(orders.map_batches(prep, batch_format="pyarrow"),
+                            cust, on=("o_custkey",),
+                            right_on=("c_custkey",), join_type="inner")
+    counts = grouped_agg(j, keys=["c_mktsegment", "total_c"],
+                         aggs={"n": (None, "count")},
+                         num_buckets=num_buckets)
+
+    def seg_bucket(batch: pa.Table) -> pa.Table:
+        # bucket by a DETERMINISTIC segment hash (crc32 — Python's hash()
+        # is salted per process) so every segment's counts co-locate
+        import zlib
+        seg = batch.column("c_mktsegment").to_pylist()
+        b = np.fromiter((zlib.crc32(s.encode()) % num_buckets for s in seg),
+                        np.int32, len(seg))
+        return batch.append_column("sbucket", pa.array(b, pa.int32()))
+
+    def pctl(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for seg, sub in g.groupby("c_mktsegment", sort=False):
+            sub = sub.sort_values("total_c", kind="mergesort")
+            vals = sub["total_c"].to_numpy()
+            cum = np.cumsum(sub["n"].to_numpy())
+            n = cum[-1]
+            row = {"c_mktsegment": seg}
+            for q, name in ((0.25, "p25_c"), (0.5, "p50_c"),
+                            (0.75, "p75_c")):
+                row[name] = int(vals[np.searchsorted(cum, q * n,
+                                                     side="left")])
+            outs.append(row)
+        if not outs:
+            return pd.DataFrame({"c_mktsegment": pd.Series(dtype=object),
+                                 **{c: pd.Series(dtype=np.int64) for c in
+                                    ("p25_c", "p50_c", "p75_c")}})
+        return pd.DataFrame(outs)
+
+    return counts.map_batches(seg_bucket, batch_format="pyarrow") \
+        .groupby("sbucket").map_groups(pctl, batch_format="pandas")
+
+
+# the TPC-H market segments are a fixed enumeration; a pivot needs its
+# output columns known up front on BOTH engines
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+             "MACHINERY"]
+
+
+def pivot_revenue(sf_dir: str) -> Dataset:
+    """PIVOT: revenue cents as one row per region x one column per
+    market segment (missing cells = 0) — conditional aggregation, the
+    shuffle-free way to pivot: the fact stream takes broadcast dimension
+    merges and ONE combiner grouped_agg to (region, segment); the
+    reshape runs over that |regions| x |segments| table in a single
+    map_batches, O(groups)."""
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = read_table(sf_dir, "region")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "total_c": _cents(batch.column("o_totalprice"))})
+
+    j = broadcast_hash_join(orders.map_batches(prep, batch_format="pyarrow"),
+                            cust, on=("o_custkey",),
+                            right_on=("c_custkey",), join_type="inner")
+    cseg = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_hash_join(j, cseg, on=("o_custkey",),
+                            right_on=("c_custkey",), join_type="inner")
+    j = broadcast_hash_join(j, nation, on=("c_nationkey",),
+                            right_on=("n_nationkey",), join_type="inner")
+    j = broadcast_hash_join(j, region, on=("n_regionkey",),
+                            right_on=("r_regionkey",), join_type="inner")
+    fine = grouped_agg(j, keys=["r_name", "c_mktsegment"],
+                       aggs={"revenue_c": ("total_c", "sum")})
+
+    _OUT = pa.schema([("r_name", pa.string())]
+                     + [(s, pa.int64()) for s in _SEGMENTS])
+
+    def reshape(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        wide = df.pivot_table(index="r_name", columns="c_mktsegment",
+                              values="revenue_c", aggfunc="sum",
+                              fill_value=0).reset_index()
+        for s in _SEGMENTS:
+            if s not in wide.columns:
+                wide[s] = 0
+        wide = wide[["r_name"] + _SEGMENTS]
+        for s in _SEGMENTS:
+            wide[s] = wide[s].astype(np.int64)
+        return pa.Table.from_pandas(wide, schema=_OUT, preserve_index=False)
+
+    return fine.repartition(1).map_batches(reshape, batch_format="pyarrow")

@@ -131,3 +131,46 @@ class TestRollupRevenue:
         for _, r in sub.iterrows():
             assert r["revenue_c"] == by_region[r["r_name"]]
             assert pd.isna(r["n_name"])
+
+
+class TestSegmentPercentiles:
+    def test_matches_numpy_weighted_disc(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            segment_percentiles,
+        )
+        got = segment_percentiles("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("c_mktsegment").reset_index(drop=True)
+        import pyarrow.parquet as pq
+        o = pq.read_table("/root/testdata/sf0.001/orders.parquet") \
+            .to_pandas()
+        c = pq.read_table("/root/testdata/sf0.001/customer.parquet") \
+            .to_pandas()
+        j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        j["total_c"] = np.trunc(j["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        rows = []
+        for seg, sub in j.groupby("c_mktsegment"):
+            v = np.sort(sub["total_c"].to_numpy())
+            n = len(v)
+            # PERCENTILE_DISC: min value whose cumulative count >= q*n
+            pick = lambda q: int(v[int(np.ceil(q * n)) - 1])  # noqa: E731
+            rows.append((seg, pick(0.25), pick(0.5), pick(0.75)))
+        ref = pd.DataFrame(rows, columns=["c_mktsegment", "p25_c",
+                                          "p50_c", "p75_c"]) \
+            .sort_values("c_mktsegment").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
+
+
+class TestPivotRevenue:
+    def test_row_sums_equal_rollup_detail(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            _SEGMENTS,
+            pivot_revenue,
+            segment_revenue,
+        )
+        wide = pivot_revenue("/root/testdata/sf0.001").to_pandas()
+        by_seg = segment_revenue("/root/testdata/sf0.001").to_pandas() \
+            .set_index("c_mktsegment")["sum_total_c"]
+        # column sums of the pivot equal the per-segment aggregate
+        for s in _SEGMENTS:
+            assert wide[s].sum() == by_seg.get(s, 0)
