@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": C.simhash_docs,
         "simhash_dup_pairs": C.simhash_dup_pairs,
         "doc_repetition": C.doc_repetition,
+        "dedup_fuzzy": C.dedup_fuzzy_docs,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "embedding_near_dups": C.embedding_near_dups,
         "embedding_near_dups_lsh": C.embedding_near_dups_lsh,
@@ -503,6 +504,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
             FROM cand WHERE bit_count(xor(ha, hb)) <= 3""",
+        # end-to-end fuzzy dedup: near-dup edges -> transitive closure
+        # (recursive CTE) -> min-id canonical election; the distributed
+        # CC must agree with the SQL fixpoint exactly
+        "dedup_fuzzy": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split_regex(trim(text),
+                                                               '\s+'))) AS t
+                FROM documents WHERE length(trim(text)) > 0
+            ), bits AS (
+                SELECT doc_id, j,
+                       SUM(CASE WHEN ((('0x' || substr(md5(t), 1, 16))::UBIGINT
+                                       >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+                FROM toks CROSS JOIN generate_series(0, 63) g(j)
+                GROUP BY doc_id, j
+            ), hashes AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN s > 0 THEN (1::UBIGINT << j)
+                                     ELSE 0::UBIGINT END) AS UBIGINT) AS h
+                FROM bits GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, h, j AS band,
+                       CAST((h >> (j*16)) & 65535 AS BIGINT) AS bv
+                FROM hashes CROSS JOIN generate_series(0, 3) g(j)
+            ), edges AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.bv = y.bv
+                 AND x.doc_id < y.doc_id
+                WHERE bit_count(xor(x.h, y.h)) <= 3
+            ), sym AS (
+                SELECT a, b FROM edges
+                UNION SELECT b AS a, a AS b FROM edges
+            ), reach(src, node) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+            )
+            SELECT src AS doc_id, MIN(node) AS cluster_id,
+                   MIN(node) = src AS keep
+            FROM reach GROUP BY src""",
         # Gopher-style within-doc repetition stats; empty docs emit zeros
         "doc_repetition": r"""
             WITH toks AS (

@@ -954,3 +954,60 @@ def doc_repetition(sf_dir: str) -> Dataset:
         })
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_fuzzy_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
+    """END-TO-END fuzzy deduplication: SimHash near-dup pairs ->
+    distributed connected components -> canonical-document election —
+    the full transitive-clustering dedup a training corpus actually
+    ships through, not just the candidate pairs.
+
+    One row per input document: its dedup ``cluster_id`` (min doc_id of
+    its near-dup component, via ``stages/cluster.py`` CC — union-find
+    fast path under the documented threshold, alternating-star shuffle
+    loop above it) and ``keep`` = is this the component's canonical doc.
+    Singletons keep themselves. The assignment table is component-scale
+    (docs that matched something), broadcast once via ``ray.put`` into a
+    map-side join; at corpora where it outgrows a broadcast, swap in the
+    bucketed hash join exactly as pipelines/linkage.assign_clusters
+    does.
+
+    Oracle: recursive-CTE transitive closure + MIN reachable node — the
+    SQL fixpoint the distributed CC must agree with exactly.
+    """
+    from chameleon_entity_linking_ray.stages.cluster import (
+        connected_components,
+    )
+
+    pairs = simhash_dup_pairs(sf_dir, max_hamming=max_hamming)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch.column("doc_a").cast(pa.int64()),
+                         "v": batch.column("doc_b").cast(pa.int64())})
+
+    assignments, _stats = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow"))
+
+    adf = assignments.to_pandas()
+    nodes = adf["node"].to_numpy(np.int64)
+    order_ix = np.argsort(nodes, kind="mergesort")
+    ref = ray.put((nodes[order_ix],
+                   adf["cluster"].to_numpy(np.int64)[order_ix]))
+
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        snodes, sclusters = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(snodes, ids)
+        pos = np.minimum(pos, max(len(snodes) - 1, 0))
+        hit = (len(snodes) > 0) & (snodes[pos] == ids) \
+            if len(snodes) else np.zeros(len(ids), bool)
+        cluster = np.where(hit, sclusters[pos] if len(snodes) else 0, ids)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(cluster.astype(np.int64)),
+            "keep": pa.array(cluster == ids, pa.bool_()),
+        })
+
+    return docs.map_batches(attach, batch_format="pyarrow")

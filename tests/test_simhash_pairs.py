@@ -116,3 +116,39 @@ class TestPopcount:
         v[:3] = [0, 1, 2**64 - 1]
         ref = np.array([bin(int(x)).count("1") for x in v], dtype=np.int64)
         assert (_popcount64(v) == ref).all()
+
+
+class TestDedupFuzzy:
+    def test_transitive_closure_and_canonical_election(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.corpus import (
+            dedup_fuzzy_docs,
+        )
+        # A ~ B ~ C (chain via shared near-identical token sets), D alone:
+        # the component must collapse transitively even though A and C
+        # might not share a band directly
+        texts = [
+            "alpha beta gamma delta epsilon",          # 0
+            "alpha beta gamma delta epsilon",          # 1 exact dup of 0
+            "alpha beta gamma delta epsilon zeta",     # 2 near 0/1
+            "completely different words entirely here",  # 3 singleton
+        ]
+        df = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts, "lang": "en", "source": "t",
+            "n_chars": [len(t) for t in texts],
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+        got = dedup_fuzzy_docs(str(sf)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got.loc[0, "cluster_id"] == 0 and bool(got.loc[0, "keep"])
+        assert got.loc[1, "cluster_id"] == 0 and not bool(got.loc[1, "keep"])
+        # doc 2 joins iff its simhash is within hamming 3 of 0's — with
+        # one extra token over 5 it is; either way 3 stays a singleton
+        assert got.loc[3, "cluster_id"] == 3 and bool(got.loc[3, "keep"])
+        # exactly one keeper per cluster, keeper = min doc_id
+        for cid, sub in got.groupby("cluster_id"):
+            assert sub["keep"].sum() == 1
+            assert sub.loc[sub["keep"], "doc_id"].iloc[0] == cid == \
+                sub["doc_id"].min()
