@@ -66,6 +66,89 @@ def _langid_sql() -> str:
     FROM s"""
 
 
+def _corpus_prep_sql(quality_min: float = 0.5, lang: str = "en",
+                     budget: int = 256, max_hamming: int = 3) -> str:
+    """Composed oracle for pipelines/prep.corpus_prep: quality+lang
+    filter -> simhash-banded fuzzy dedup (recursive-CTE closure,
+    min-id canonical) -> prefix-sum sequence packing, each sub-expression
+    identical to the standalone operators' oracles."""
+    from chameleon_entity_linking_ray.functions.text import LANG_STOPWORDS
+    from chameleon_entity_linking_ray.pipelines.corpus import LANG_ORDER
+
+    def score(lg: str) -> str:
+        return "(" + " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            for w in LANG_STOPWORDS[lg]) + ")"
+
+    s = {lg: score(lg) for lg in LANG_ORDER}
+    return rf"""
+    WITH RECURSIVE scored AS (
+        SELECT doc_id, text,
+               ROUND(0.5 * LEAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END,
+                        100) / 100.0 +
+                     0.5 * (1.0 - len(regexp_extract_all(text, '[^\w\s]'))
+                            / GREATEST(length(text), 1)), 6) AS quality,
+               {s['en']} AS s_en, {s['de']} AS s_de, {s['fr']} AS s_fr
+        FROM documents
+    ), q AS (
+        SELECT doc_id, text FROM scored
+        WHERE quality >= {quality_min}
+          AND (CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                    WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END) = '{lang}'
+    ), toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text),
+                                                               '\s+'))) AS t
+        FROM q WHERE length(trim(text)) > 0
+    ), bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN ((('0x' || substr(md5(t), 1, 16))::UBIGINT
+                               >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        FROM toks CROSS JOIN generate_series(0, 63) g(j)
+        GROUP BY doc_id, j
+    ), hashes AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::UBIGINT << j)
+                                     ELSE 0::UBIGINT END) AS UBIGINT) AS h
+        FROM bits GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, h, j AS band,
+               CAST((h >> (j*16)) & 65535 AS BIGINT) AS bv
+        FROM hashes CROSS JOIN generate_series(0, 3) g(j)
+    ), edges AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+         AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.h, y.h)) <= {max_hamming}
+    ), sym AS (
+        SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+    ), reach(src, node) AS (
+        SELECT doc_id, doc_id FROM q
+        UNION
+        SELECT r.src, s2.b FROM reach r JOIN sym s2 ON s2.a = r.node
+    ), asn AS (
+        SELECT src AS doc_id, MIN(node) AS cluster FROM reach GROUP BY src
+    ), surv AS (
+        SELECT q.doc_id, q.text FROM q JOIN asn USING (doc_id)
+        WHERE asn.cluster = q.doc_id
+    ), tk AS (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS n_tokens
+        FROM surv
+    ), w AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS before
+        FROM tk
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(before // {budget} AS BIGINT) AS seq_id
+    FROM w"""
+
+
 def entry() -> Any:
     """Flagship linkage pipeline over a transcript table derived from
     sf0.001 (extraction -> blocking -> scoring -> clustering)."""
@@ -112,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": C.simhash_dup_pairs,
         "doc_repetition": C.doc_repetition,
         "dedup_fuzzy": C.dedup_fuzzy_docs,
+        "corpus_prep": _q_corpus_prep,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "embedding_near_dups": C.embedding_near_dups,
         "embedding_near_dups_lsh": C.embedding_near_dups_lsh,
@@ -149,6 +233,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": T.doc_chunks,
         "doc_keywords": T.doc_keywords,
     }
+
+
+def _q_corpus_prep(sf_dir):
+    from chameleon_entity_linking_ray.pipelines.prep import corpus_prep
+    return corpus_prep(sf_dir)
 
 
 def _q_triangles(sf_dir):
@@ -507,6 +596,8 @@ def oracle_sql() -> dict[str, str]:
         # end-to-end fuzzy dedup: near-dup edges -> transitive closure
         # (recursive CTE) -> min-id canonical election; the distributed
         # CC must agree with the SQL fixpoint exactly
+        # composed corpus-prep pipeline: filter -> fuzzy dedup -> pack
+        "corpus_prep": _corpus_prep_sql(),
         "dedup_fuzzy": r"""
             WITH RECURSIVE toks AS (
                 SELECT doc_id,

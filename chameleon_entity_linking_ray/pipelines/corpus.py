@@ -826,8 +826,8 @@ def linkage_parts(sf_dir: str, config: LinkageConfig | None = None) -> Dataset:
     return clustered
 
 
-def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3,
-                      n_bands: int = 4) -> Dataset:
+def simhash_pairs_ds(docs: Dataset, max_hamming: int = 3,
+                     n_bands: int = 4) -> Dataset:
     """SimHash near-duplicate PAIRS: all doc pairs whose 64-bit SimHash
     signatures differ in at most ``max_hamming`` bits among candidates
     sharing at least one 16-bit signature band — the classic
@@ -853,7 +853,6 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3,
     assert 64 % n_bands == 0
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def to_bands(batch: pa.Table) -> pa.Table:
         sims = _simhash_u64(batch.column("text").to_pylist())
@@ -898,6 +897,15 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3,
     return docs.map_batches(to_bands, batch_format="pyarrow") \
         .groupby(["band", "bv"]).map_groups(bucket_pairs,
                                             batch_format="pandas")
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3,
+                      n_bands: int = 4) -> Dataset:
+    """``simhash_pairs_ds`` over the ``documents`` table (driver-contract
+    wrapper)."""
+    return simhash_pairs_ds(read_table(sf_dir, "documents",
+                                       ["doc_id", "text"]),
+                            max_hamming=max_hamming, n_bands=n_bands)
 
 
 def doc_repetition(sf_dir: str) -> Dataset:
@@ -956,7 +964,7 @@ def doc_repetition(sf_dir: str) -> Dataset:
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
-def dedup_fuzzy_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
+def fuzzy_dedup_assign(docs: Dataset, max_hamming: int = 3) -> Dataset:
     """END-TO-END fuzzy deduplication: SimHash near-dup pairs ->
     distributed connected components -> canonical-document election —
     the full transitive-clustering dedup a training corpus actually
@@ -979,7 +987,8 @@ def dedup_fuzzy_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
         connected_components,
     )
 
-    pairs = simhash_dup_pairs(sf_dir, max_hamming=max_hamming)
+    docs = docs.materialize()  # consumed twice: pair gen + assignment
+    pairs = simhash_pairs_ds(docs, max_hamming=max_hamming)
 
     def as_edges(batch: pa.Table) -> pa.Table:
         return pa.table({"u": batch.column("doc_a").cast(pa.int64()),
@@ -994,8 +1003,6 @@ def dedup_fuzzy_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
     ref = ray.put((nodes[order_ix],
                    adf["cluster"].to_numpy(np.int64)[order_ix]))
 
-    docs = read_table(sf_dir, "documents", ["doc_id"])
-
     def attach(batch: pa.Table) -> pa.Table:
         snodes, sclusters = ray.get(ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1004,10 +1011,18 @@ def dedup_fuzzy_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
         hit = (len(snodes) > 0) & (snodes[pos] == ids) \
             if len(snodes) else np.zeros(len(ids), bool)
         cluster = np.where(hit, sclusters[pos] if len(snodes) else 0, ids)
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "cluster_id": pa.array(cluster.astype(np.int64)),
-            "keep": pa.array(cluster == ids, pa.bool_()),
-        })
+        out = batch.append_column("cluster_id",
+                                  pa.array(cluster.astype(np.int64)))
+        return out.append_column("keep", pa.array(cluster == ids,
+                                                  pa.bool_()))
 
     return docs.map_batches(attach, batch_format="pyarrow")
+
+
+def dedup_fuzzy_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
+    """``fuzzy_dedup_assign`` over the ``documents`` table (driver-contract
+    wrapper; oracle: recursive-CTE transitive closure)."""
+    assigned = fuzzy_dedup_assign(
+        read_table(sf_dir, "documents", ["doc_id", "text"]),
+        max_hamming=max_hamming)
+    return assigned.select_columns(["doc_id", "cluster_id", "keep"])

@@ -125,8 +125,8 @@ def stratified_sample(sf_dir: str, n_per_group: int = 25) -> Dataset:
 
 # ------------------------------------------------------------ sequence packing
 
-def pack_sequences(sf_dir: str, budget: int = 256,
-                   range_size: int = 1024) -> Dataset:
+def pack_sequences_ds(docs: Dataset, budget: int = 256,
+                      range_size: int = 1024) -> Dataset:
     """Greedy-by-cumsum sequence packing for LLM training: documents in
     doc_id order are packed into token-budget bins,
     ``seq_id = floor(tokens_before_doc / budget)`` — the streaming packer
@@ -139,7 +139,6 @@ def pack_sequences(sf_dir: str, budget: int = 256,
     ``ray.put``; (4) one shuffle co-locates each range, which sorts its own
     docs and adds local cumsum to its broadcast base. No global sort, no
     driver loop over rows."""
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def tok(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -169,6 +168,15 @@ def pack_sequences(sf_dir: str, budget: int = 256,
                              "seq_id": before // budget})
 
     return tkr.groupby("range_id").map_groups(assign, batch_format="pandas")
+
+
+def pack_sequences(sf_dir: str, budget: int = 256,
+                   range_size: int = 1024) -> Dataset:
+    """``pack_sequences_ds`` over the ``documents`` table (driver-contract
+    wrapper)."""
+    return pack_sequences_ds(read_table(sf_dir, "documents",
+                                        ["doc_id", "text"]),
+                             budget=budget, range_size=range_size)
 
 
 # ------------------------------------------------------------ n-gram statistics
