@@ -202,6 +202,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search / vector pooling ---
         "ann_topk": C.ann_topk,
         "ann_lsh_topk": C.ann_lsh_topk,
+        # rows-only: IVF's k-means quantizer is iterative model fitting
+        # (same non-SQL class as ppr_copurchase); pinned by exactness-at-
+        # full-probe + recall pytest (tests/test_ann_ivf.py)
+        "ann_ivf_topk": C.ann_ivf_topk,
         "group_mean_vectors": C.group_mean_vectors,
         # --- reference ingest surface (S1-S5 roundtrips through real
         #     files under /tmp, re-read by sources/ingest.py readers) ---

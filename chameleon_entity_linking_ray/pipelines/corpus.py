@@ -1026,3 +1026,124 @@ def dedup_fuzzy_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
         read_table(sf_dir, "documents", ["doc_id", "text"]),
         max_hamming=max_hamming)
     return assigned.select_columns(["doc_id", "cluster_id", "keep"])
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
+                 n_centroids: int = 16, n_probe: int = 4,
+                 iters: int = 5) -> Dataset:
+    """IVF (inverted-file) ANN top-k — the second 100 TB scale path next
+    to ``ann_lsh_topk``: a deterministic distributed k-means coarse
+    quantizer partitions the vectors; each query scans only its
+    ``n_probe`` nearest cells (n_probe/n_centroids of the corpus)
+    instead of everything.
+
+    k-means is Lloyd with FIXED seed-free init (the n_centroids lowest
+    vec_ids) and a FIXED iteration count, in combiner form: per-batch
+    partial (sum, count) per cell -> tiny per-block partial table ->
+    centroid update on that bounded table — the corpus is never
+    collected. With n_probe = n_centroids the output is bit-equal to
+    the brute-force ``ann_topk`` (pytest-pinned); partial probing trades
+    recall for scan fraction exactly like a FAISS IVF index. Iterative
+    model fitting is not SQL-expressible, so this entry is rows-only in
+    the driver gate (same class as ``ppr_copurchase``'s power method),
+    pinned instead by exactness-at-full-probe + recall tests.
+    """
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _norm(m: np.ndarray) -> np.ndarray:
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                              1e-12)
+
+    # deterministic init: the n_centroids smallest vec_ids
+    seed_tbl = pa.concat_tables(
+        [b for b in emb.filter(expr=f"vec_id < {n_centroids}")
+         .iter_batches(batch_format="pyarrow")]).to_pandas() \
+        .sort_values("vec_id")
+    centroids = _norm(np.stack(seed_tbl["embedding"].to_numpy())
+                      .astype(np.float64))
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            mat = _norm(np.stack(batch.column("embedding").to_pylist())
+                        .astype(np.float64))
+            cell = (mat @ c.T).argmax(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, cell, mat)
+            cnt = np.bincount(cell, minlength=len(c)).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            return pa.table({
+                "cell": pa.array(nz.astype(np.int64)),
+                "vsum": pa.array(list(sums[nz]),
+                                 pa.list_(pa.float64())),
+                "n": pa.array(cnt[nz]),
+            })
+
+        # bounded: n_centroids rows per block, never the corpus
+        parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new = centroids.copy()
+        for cell, sub in parts.groupby("cell"):
+            tot = np.sum(np.stack(sub["vsum"].to_numpy()), axis=0)
+            n = sub["n"].sum()
+            if n > 0:
+                new[int(cell)] = tot / n
+        centroids = _norm(new)
+
+    cref = ray.put(centroids)
+
+    # query probe sets: n_probe nearest cells per query vector
+    qdf = pa.concat_tables(
+        [b for b in emb.filter(expr=f"vec_id < {n_queries}")
+         .iter_batches(batch_format="pyarrow")]).to_pandas() \
+        .sort_values("vec_id")
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qmat = _norm(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    probe = np.argsort(-(qmat @ centroids.T), axis=1,
+                       kind="stable")[:, :n_probe]
+    qref = ray.put((qids, qmat, probe))
+
+    class ProbeScore:
+        def __init__(self):
+            self.c = ray.get(cref)
+            self.qids, self.qmat, self.probe = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            mat = _norm(np.stack(batch.column("embedding").to_pylist())
+                        .astype(np.float64))
+            cell = (mat @ self.c.T).argmax(axis=1)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                hit = np.isin(cell, self.probe[qi])
+                hit &= ids != self.qids[qi]
+                if not hit.any():
+                    continue
+                s = mat[hit] @ self.qmat[qi]
+                out_q.append(np.full(int(hit.sum()), self.qids[qi],
+                                     np.int64))
+                out_v.append(ids[hit].astype(np.int64))
+                out_s.append(s)
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            })
+
+    scored = emb.map_batches(ProbeScore, batch_format="pyarrow",
+                             batch_size=4096, concurrency=(1, 4))
+    out = grouped_top_k(scored, group_keys=["query_id"],
+                        by=["score", "vec_id"], ascending=[False, True],
+                        k=k, rank_col="rnk")
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rnk"] = df["rnk"].astype(np.int64)
+        return df[["query_id", "vec_id", "rnk"]]
+
+    return out.map_batches(shape, batch_format="pandas")
