@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pairs_within": A.event_pairs_within,
         "rollup_revenue": A.rollup_revenue,
         "cume_dist_orders": A.cume_dist_orders,
+        "rank_orders": A.rank_orders,
+        "cube_revenue": A.cube_revenue,
         "triangles_copurchase": _q_triangles,
         "segment_percentiles": A.segment_percentiles,
         "pivot_revenue": A.pivot_revenue,
@@ -236,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_percentiles": T.exact_percentiles,
         "doc_chunks": T.doc_chunks,
         "doc_keywords": T.doc_keywords,
+        "decontaminate": T.decontaminate,
     }
 
 
@@ -424,6 +427,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, total_c,
                    CUME_DIST() OVER (ORDER BY total_c) AS cume_dist
             FROM o""",
+        # global RANK / DENSE_RANK without a global sort: tie-deterministic
+        # window functions, exact int arithmetic on both engines
+        "rank_orders": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(trunc(o_totalprice*100) AS BIGINT)
+                                  AS total_c
+                       FROM orders)
+            SELECT o_orderkey, total_c,
+                   CAST(RANK() OVER (ORDER BY total_c) AS BIGINT) AS rnk,
+                   CAST(DENSE_RANK() OVER (ORDER BY total_c) AS BIGINT)
+                       AS drnk
+            FROM o""",
+        "cube_revenue": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(trunc(o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS revenue_c,
+                   CAST(GROUPING(r_name)*2 + GROUPING(n_name) AS BIGINT)
+                       AS lvl
+            FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+            GROUP BY CUBE(r_name, n_name)""",
         # per-node triangle counts: canonical src<dst edge set, 3-way
         # self-join, each triangle credits its three corners
         "triangles_copurchase": """
@@ -1006,6 +1031,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.q AS q, r.v AS val_c
             FROM t CROSS JOIN n
             JOIN r ON r.rn = CAST(floor(t.q * (n.cnt - 1)) AS BIGINT) + 1""",
+        # benchmark decontamination: word 5-gram overlap of the training
+        # slice (doc_id % 20 != 0) against the DISTINCT 5-grams of the
+        # held-out eval slice (doc_id % 20 == 0); n_matched counts gram
+        # POSITIONS in the training doc hitting the benchmark set
+        "decontaminate": r"""
+            WITH tk AS (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS t
+                        FROM documents),
+                 bench AS (SELECT DISTINCT
+                               unnest([t[i] || ' ' || t[i+1] || ' ' ||
+                                       t[i+2] || ' ' || t[i+3] || ' ' ||
+                                       t[i+4]
+                                   FOR i IN generate_series(1, len(t)-4)])
+                                   AS g
+                           FROM tk
+                           WHERE doc_id % 20 = 0 AND len(t) >= 5),
+                 tg AS (SELECT doc_id,
+                               unnest([t[i] || ' ' || t[i+1] || ' ' ||
+                                       t[i+2] || ' ' || t[i+3] || ' ' ||
+                                       t[i+4]
+                                   FOR i IN generate_series(1, len(t)-4)])
+                                   AS g
+                        FROM tk
+                        WHERE doc_id % 20 <> 0 AND len(t) >= 5),
+                 m AS (SELECT tg.doc_id,
+                              CAST(COUNT(b.g) AS BIGINT) AS n_matched
+                       FROM tg LEFT JOIN bench b ON tg.g = b.g
+                       GROUP BY tg.doc_id)
+            SELECT tk.doc_id,
+                   CAST(GREATEST(len(tk.t) - 4, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+                   COALESCE(m.n_matched, 0) > 0 AS contaminated
+            FROM tk LEFT JOIN m ON tk.doc_id = m.doc_id
+            WHERE tk.doc_id % 20 <> 0""",
     }
 
 

@@ -38,6 +38,7 @@ QUERY_NAMES = [
     "ann_topk", "ir_metrics", "linkage_parts", "asof_events_orders",
     "sessionize_events", "pack_sequences", "top_ngrams", "exact_percentiles",
     "rolling_user_window", "event_pairs_within", "simhash_dup_pairs",
+    "rank_orders", "decontaminate",
 ]
 
 

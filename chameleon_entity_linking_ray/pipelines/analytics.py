@@ -639,6 +639,36 @@ def rollup_revenue(sf_dir: str) -> Dataset:
     return fine.repartition(1).map_batches(expand, batch_format="pyarrow")
 
 
+@ray.remote
+def _cdf_assemble(*blocks) -> tuple[np.ndarray, np.ndarray, int]:
+    """Sorted (value, inclusive-cumulative-count) table from the blocks of
+    a (total_c, n) value-count aggregate — runs in a WORKER task over the
+    aggregate's block refs so the driver only ever holds the object ref."""
+    tbls = [b if isinstance(b, pa.Table)
+            else pa.Table.from_pandas(b, preserve_index=False)
+            for b in blocks]
+    tbls = [t for t in tbls if t.num_rows]
+    if not tbls:
+        return np.empty(0, np.int64), np.empty(0, np.int64), 0
+    t = pa.concat_tables(tbls)
+    vals = t.column("total_c").to_numpy(zero_copy_only=False)
+    ns = t.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(vals, kind="mergesort")
+    vals, ns = vals[order], ns[order]
+    cum = np.cumsum(ns)
+    return vals.astype(np.int64), cum.astype(np.int64), int(cum[-1])
+
+
+def _cdf_ref(withc: Dataset, num_buckets: int):
+    """Combiner value-count aggregate over ``total_c`` + worker-assembled
+    broadcast CDF — the O(distinct)-shuffle backbone shared by the
+    no-sort global window ops (CUME_DIST / RANK / DENSE_RANK)."""
+    counts = grouped_agg(withc, keys=["total_c"],
+                         aggs={"n": (None, "count")},
+                         num_buckets=num_buckets)
+    return _cdf_assemble.remote(*counts.to_arrow_refs())
+
+
 def cume_dist_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
     """Global cumulative distribution (SQL ``CUME_DIST() OVER (ORDER BY
     total)``) for every order — a GLOBAL rank computed WITHOUT a global
@@ -665,29 +695,7 @@ def cume_dist_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
                          "total_c": _cents(batch.column("o_totalprice"))})
 
     withc = orders.map_batches(prep, batch_format="pyarrow")
-    counts = grouped_agg(withc, keys=["total_c"],
-                         aggs={"n": (None, "count")},
-                         num_buckets=num_buckets)
-
-    @ray.remote
-    def cdf_table(*blocks) -> tuple[np.ndarray, np.ndarray, int]:
-        tbls = [b if isinstance(b, pa.Table)
-                else pa.Table.from_pandas(b, preserve_index=False)
-                for b in blocks]
-        tbls = [t for t in tbls if t.num_rows]
-        if not tbls:
-            return np.empty(0, np.int64), np.empty(0, np.int64), 0
-        t = pa.concat_tables(tbls)
-        vals = t.column("total_c").to_numpy(zero_copy_only=False)
-        ns = t.column("n").to_numpy(zero_copy_only=False)
-        order = np.argsort(vals, kind="mergesort")
-        vals, ns = vals[order], ns[order]
-        cum = np.cumsum(ns)
-        return vals.astype(np.int64), cum.astype(np.int64), int(cum[-1])
-
-    # sorted (value, cumulative-count) assembled in a WORKER task from the
-    # aggregate's block refs; the driver only holds the object ref
-    ref = cdf_table.remote(*counts.to_arrow_refs())
+    ref = _cdf_ref(withc, num_buckets)
 
     def attach(batch: pa.Table) -> pa.Table:
         vals, cum, n = ray.get(ref)
@@ -699,6 +707,98 @@ def cume_dist_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
                                   pa.float64()))
 
     return withc.map_batches(attach, batch_format="pyarrow")
+
+
+def rank_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """Global ``RANK()`` and ``DENSE_RANK() OVER (ORDER BY total)`` for
+    every order — same no-global-sort dataflow as ``cume_dist_orders``:
+    one combiner value-count aggregate (shuffle O(distinct values)), a
+    worker-assembled broadcast CDF, then a map-side searchsorted per
+    batch.
+
+    Both window functions are tie-deterministic (equal values share a
+    rank), so the output is reproducible under any partitioning — unlike
+    ROW_NUMBER / NTILE, which need an explicit unique tie-break key.
+    rank = 1 + (# rows strictly below), dense_rank = 1 + (# distinct
+    values strictly below); both are exact int arithmetic.
+    """
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "total_c": _cents(batch.column("o_totalprice"))})
+
+    withc = orders.map_batches(prep, batch_format="pyarrow")
+    ref = _cdf_ref(withc, num_buckets)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vals, cum, _n = ray.get(ref)
+        tc = batch.column("total_c").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vals, tc, side="left")
+        below = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
+        return batch.append_column(
+            "rnk", pa.array(below + 1, pa.int64())
+        ).append_column(
+            "drnk", pa.array(pos.astype(np.int64) + 1, pa.int64()))
+
+    return withc.map_batches(attach, batch_format="pyarrow")
+
+
+def cube_revenue(sf_dir: str) -> Dataset:
+    """Full CUBE grouping sets: revenue by (region, nation) plus
+    per-region subtotals, per-nation subtotals, and a grand total —
+    SQL's ``GROUP BY CUBE(r_name, n_name)`` with ``lvl`` mirroring
+    ``GROUPING(r_name)*2 + GROUPING(n_name)`` (0 detail, 1 region
+    subtotal, 2 nation subtotal, 3 grand total).
+
+    Same shape as ``rollup_revenue``: the fact stream pays broadcast
+    dimension merges plus ONE combiner grouped_agg down to the finest
+    (region, nation) grain; all 2^k grouping sets are then expanded from
+    that tiny aggregate in a single map_batches — O(groups) work however
+    many rows feed it.
+    """
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"])
+    region = read_table(sf_dir, "region")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "total_c": _cents(batch.column("o_totalprice"))})
+
+    j = broadcast_hash_join(orders.map_batches(prep, batch_format="pyarrow"),
+                            cust, on=("o_custkey",),
+                            right_on=("c_custkey",), join_type="inner")
+    j = broadcast_hash_join(j, nation, on=("c_nationkey",),
+                            right_on=("n_nationkey",), join_type="inner")
+    j = broadcast_hash_join(j, region, on=("n_regionkey",),
+                            right_on=("r_regionkey",), join_type="inner")
+    fine = grouped_agg(j, keys=["r_name", "n_name"],
+                       aggs={"revenue_c": ("total_c", "sum")})
+
+    _OUT = pa.schema([("r_name", pa.string()), ("n_name", pa.string()),
+                      ("revenue_c", pa.int64()), ("lvl", pa.int64())])
+
+    def expand(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        detail = df.assign(lvl=np.int64(0))
+        by_region = df.groupby("r_name", sort=False, as_index=False)[
+            "revenue_c"].sum().assign(n_name=None, lvl=np.int64(1))
+        by_nation = df.groupby("n_name", sort=False, as_index=False)[
+            "revenue_c"].sum().assign(r_name=None, lvl=np.int64(2))
+        grand = pd.DataFrame({"r_name": [None], "n_name": [None],
+                              "revenue_c": [df["revenue_c"].sum()],
+                              "lvl": np.int64(3)})
+        out = pd.concat([detail, by_region, by_nation, grand],
+                        ignore_index=True)
+        return pa.Table.from_pandas(
+            out[["r_name", "n_name", "revenue_c", "lvl"]],
+            schema=_OUT, preserve_index=False)
+
+    # the fine aggregate is |regions| x |nations| rows — one block,
+    # one expansion pass
+    return fine.repartition(1).map_batches(expand, batch_format="pyarrow")
 
 
 def segment_percentiles(sf_dir: str, num_buckets: int = 32) -> Dataset:

@@ -457,3 +457,103 @@ def exact_percentiles(sf_dir: str, qs: tuple[float, ...] =
                     "val_c": pa.array([int(sub[t[1] - 1]) for t in targets],
                                       pa.int64())})
     return ray.data.from_arrow(out)
+
+
+# ------------------------------------------------------- decontamination
+
+def _word_ngrams(batch: pa.Table, n: int):
+    """Flattened word n-grams over a batch's trimmed ``text`` column.
+
+    Returns (grams, doc_of, n_grams_per_doc): one joined-string gram per
+    token position (offset arithmetic over the flattened Arrow token
+    lists — the same zero-Python-per-row kernel as ``top_ngrams``),
+    the row index each gram came from, and per-row gram counts (rows
+    shorter than n tokens contribute zero grams).
+    """
+    text = pc.utf8_trim_whitespace(batch.column("text"))
+    toks = pc.split_pattern_regex(text, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    off = np.asarray(toks.offsets)
+    lens = np.diff(off)
+    ng = np.maximum(lens - (n - 1), 0)
+    total = int(ng.sum())
+    if total == 0:
+        return (np.empty(0, object), np.empty(0, np.int64),
+                ng.astype(np.int64))
+    doc_of = np.repeat(np.arange(len(lens)), ng)
+    within = np.arange(total) - np.repeat(np.cumsum(ng) - ng, ng)
+    pos = off[:-1][doc_of] + within
+    s = pd.Series(flat[pos])
+    for j in range(1, n):
+        s = s.str.cat(pd.Series(flat[pos + j]), sep=" ")
+    return s.to_numpy(), doc_of.astype(np.int64), ng.astype(np.int64)
+
+
+@ray.remote
+def _gram_set(*blocks) -> frozenset:
+    """Union the per-block distinct-gram tables into one frozenset —
+    assembled in a worker task from block refs; the driver holds only
+    the object ref (benchmark eval sets are MBs even at 100 TB corpus
+    scale, so a broadcast set is the right shape)."""
+    out: set = set()
+    for b in blocks:
+        t = (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+        if t.num_rows:
+            out.update(t.column("g").to_pylist())
+    return frozenset(out)
+
+
+def decontaminate(sf_dir: str, n: int = 5, eval_mod: int = 20) -> Dataset:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with a held-out eval slice — the GPT-3 / FLAN-style
+    n-gram overlap check every pretraining pipeline runs before
+    training. The eval slice is the deterministic ``doc_id % eval_mod
+    == 0`` subset (a stand-in for the real benchmark suite); n=5 is
+    sized to the ~54-token synthetic docs (real pipelines use 8-13).
+
+    Dataflow: one pass builds the eval slice's DISTINCT n-grams as
+    per-block partials (map-only), a worker task unions them into a
+    broadcast frozenset, then one map-only pass over the training slice
+    counts gram occurrences hitting the set (vectorized pandas isin +
+    bincount). No shuffle at all — the benchmark side is broadcast-small
+    by nature, which is exactly why decontamination scales where
+    train-vs-train dedup needs LSH.
+
+    Output per training doc: total n-gram positions, positions matching
+    the benchmark set, and the contaminated flag (any match).
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % eval_mod == 0))
+        if sub.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string())})
+        grams, _, _ = _word_ngrams(sub, n)
+        return pa.table({"g": pa.array(pd.unique(grams), pa.string())})
+
+    bench = docs.map_batches(eval_grams, batch_format="pyarrow")
+    ref = _gram_set.remote(*bench.to_arrow_refs())
+
+    def score(batch: pa.Table) -> pa.Table:
+        bench_set = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % eval_mod != 0))
+        grams, doc_of, ng = _word_ngrams(sub, n)
+        if len(grams):
+            hit = pd.Series(grams).isin(bench_set).to_numpy()
+            matched = np.bincount(doc_of, weights=hit,
+                                  minlength=sub.num_rows).astype(np.int64)
+        else:
+            matched = np.zeros(sub.num_rows, np.int64)
+        return pa.table({
+            "doc_id": sub.column("doc_id"),
+            "n_ngrams": pa.array(ng, pa.int64()),
+            "n_matched": pa.array(matched, pa.int64()),
+            "contaminated": pa.array(matched > 0, pa.bool_()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

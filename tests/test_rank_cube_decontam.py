@@ -1,0 +1,146 @@
+"""Round-3 additions: no-sort global RANK/DENSE_RANK, CUBE grouping
+sets, and benchmark n-gram decontamination — pinned against brute-force
+references. The DuckDB value oracles in __ray_entry__ are the
+independent check.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+class TestRankOrders:
+    def test_matches_bruteforce_with_ties(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import rank_orders
+        rng = np.random.default_rng(31)
+        n = 400
+        # coarse grid forces many exact ties
+        total = rng.integers(10, 30, n) * 100.0
+        orders = pd.DataFrame({
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": np.ones(n, dtype=np.int64),
+            "o_orderstatus": "F",
+            "o_totalprice": total,
+            "o_orderdate": pd.Timestamp("2020-01-01"),
+            "o_orderpriority": "1-URGENT",
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        orders.to_parquet(sf / "orders.parquet")
+        got = rank_orders(str(sf)).to_pandas() \
+            .sort_values("o_orderkey").reset_index(drop=True)
+        cents = np.trunc(total * 100).astype(np.int64)
+        ref_rnk = np.array([(cents < c).sum() + 1 for c in cents])
+        uniq = np.unique(cents)
+        ref_drnk = np.searchsorted(uniq, cents) + 1
+        assert (got["total_c"].to_numpy() == cents).all()
+        assert (got["rnk"].to_numpy() == ref_rnk).all()
+        assert (got["drnk"].to_numpy() == ref_drnk).all()
+        # tie groups share one rank; dense ranks are 1..#distinct
+        by = got.groupby("total_c")
+        assert (by["rnk"].nunique() == 1).all()
+        assert sorted(got["drnk"].unique()) == list(range(1, len(uniq) + 1))
+
+
+class TestCubeRevenue:
+    def test_cube_levels_consistent(self):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            cube_revenue,
+            rollup_revenue,
+        )
+        sf = "/root/testdata/sf0.001"
+        cube = cube_revenue(sf).to_pandas()
+        roll = rollup_revenue(sf).to_pandas()
+        # CUBE = ROLLUP + the nation-subtotal grouping set
+        cube_no2 = cube[cube.lvl != 2].sort_values(
+            ["lvl", "r_name", "n_name"], na_position="last") \
+            .reset_index(drop=True)
+        roll_s = roll.sort_values(
+            ["lvl", "r_name", "n_name"], na_position="last") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(cube_no2, roll_s)
+        # every grouping set totals to the same grand sum
+        detail = cube[cube.lvl == 0]
+        grand = int(cube[cube.lvl == 3]["revenue_c"].iloc[0])
+        assert int(detail["revenue_c"].sum()) == grand
+        assert int(cube[cube.lvl == 1]["revenue_c"].sum()) == grand
+        assert int(cube[cube.lvl == 2]["revenue_c"].sum()) == grand
+        # nation subtotals equal detail rolled up by nation
+        by_nation = detail.groupby("n_name")["revenue_c"].sum()
+        lvl2 = cube[cube.lvl == 2].set_index("n_name")["revenue_c"]
+        assert by_nation.sort_index().equals(lvl2.sort_index())
+
+
+class TestDecontaminate:
+    def _docs_ds(self, texts):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+
+    def test_matches_bruteforce(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.traindata import (
+            decontaminate,
+        )
+        rng = np.random.default_rng(7)
+        vocab = [f"w{i}" for i in range(12)]
+        texts = [" ".join(rng.choice(vocab, rng.integers(3, 15)))
+                 for _ in range(80)]
+        # plant an exact eval copy in the training slice: doc 0 is eval
+        # (0 % 4 == 0), doc 1 is a training dup of it
+        texts[1] = texts[0]
+        df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                           "text": texts})
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+
+        n, mod = 3, 4
+        got = decontaminate(str(sf), n=n, eval_mod=mod).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+        def grams(t):
+            toks = t.strip().split()
+            return [" ".join(toks[i:i + n])
+                    for i in range(max(len(toks) - n + 1, 0))]
+
+        bench = {g for i, t in enumerate(texts)
+                 if i % mod == 0 for g in grams(t)}
+        ref = []
+        for i, t in enumerate(texts):
+            if i % mod == 0:
+                continue
+            gs = grams(t)
+            m = sum(g in bench for g in gs)
+            ref.append((i, len(gs), m, m > 0))
+        ref = pd.DataFrame(ref, columns=["doc_id", "n_ngrams",
+                                         "n_matched", "contaminated"])
+        assert (got["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+        assert (got["n_ngrams"].to_numpy() == ref["n_ngrams"].to_numpy()).all()
+        assert (got["n_matched"].to_numpy()
+                == ref["n_matched"].to_numpy()).all()
+        assert (got["contaminated"].to_numpy()
+                == ref["contaminated"].to_numpy()).all()
+        # the planted dup must be flagged; with a 12-word vocab and
+        # 3-grams some training docs must still be clean
+        assert bool(got.loc[got.doc_id == 1, "contaminated"].iloc[0])
+        assert (~got["contaminated"]).any()
+
+    def test_short_and_empty_docs_zero_grams(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.traindata import (
+            decontaminate,
+        )
+        texts = ["a b c d e f", "", "one two", "   ", "x y z q r s t"]
+        df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                           "text": texts})
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+        got = decontaminate(str(sf), n=5, eval_mod=5).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # doc 0 is eval; docs 1-4 are training
+        assert got["doc_id"].tolist() == [1, 2, 3, 4]
+        assert got["n_ngrams"].tolist() == [0, 0, 0, 3]
+        assert got["n_matched"].tolist() == [0, 0, 0, 0]
+        assert (~got["contaminated"]).all()
