@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": T.doc_chunks,
         "doc_keywords": T.doc_keywords,
         "decontaminate": T.decontaminate,
+        "doc_logprob": T.doc_logprob,
+        "dup_spans": T.dup_spans,
     }
 
 
@@ -1065,6 +1067,50 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(m.n_matched, 0) > 0 AS contaminated
             FROM tk LEFT JOIN m ON tk.doc_id = m.doc_id
             WHERE tk.doc_id % 20 <> 0""",
+        # unigram-LM quality score: the corpus is its own LM, so every
+        # token resolves (no smoothing); AVG vs numpy reduceat/mean agree
+        # to the harness's 6-decimal rounding
+        "doc_logprob": r"""
+            WITH tk AS (SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+'))
+                               AS tok
+                        FROM documents WHERE length(trim(text)) > 0),
+                 c AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+                 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tk)
+            SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   AVG(ln(c.cnt / n.total)) AS logprob
+            FROM tk JOIN c USING (tok) CROSS JOIN n
+            GROUP BY tk.doc_id""",
+        # duplicated 8-gram span stats (bounded substring dedup): df via
+        # COUNT(DISTINCT doc_id); n_dup counts POSITIONS whose gram also
+        # occurs in another document
+        "dup_spans": r"""
+            WITH tk AS (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS t
+                        FROM documents),
+                 gr AS (SELECT doc_id,
+                               unnest([t[i] || ' ' || t[i+1] || ' ' ||
+                                       t[i+2] || ' ' || t[i+3] || ' ' ||
+                                       t[i+4] || ' ' || t[i+5] || ' ' ||
+                                       t[i+6] || ' ' || t[i+7]
+                                   FOR i IN generate_series(1, len(t)-7)])
+                                   AS g
+                        FROM tk WHERE len(t) >= 8),
+                 df AS (SELECT g, COUNT(DISTINCT doc_id) AS df
+                        FROM gr GROUP BY g),
+                 m AS (SELECT gr.doc_id,
+                              CAST(COUNT(*) FILTER (WHERE df.df >= 2)
+                                   AS BIGINT) AS n_dup
+                       FROM gr JOIN df USING (g)
+                       GROUP BY gr.doc_id)
+            SELECT tk.doc_id,
+                   CAST(GREATEST(len(tk.t) - 7, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(m.n_dup, 0) AS BIGINT) AS n_dup,
+                   CASE WHEN GREATEST(len(tk.t) - 7, 0) > 0
+                        THEN COALESCE(m.n_dup, 0) /
+                             CAST(GREATEST(len(tk.t) - 7, 0) AS DOUBLE)
+                        ELSE 0.0 END AS dup_frac
+            FROM tk LEFT JOIN m ON tk.doc_id = m.doc_id""",
     }
 
 

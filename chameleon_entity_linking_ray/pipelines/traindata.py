@@ -35,7 +35,12 @@ from ray.data import Dataset
 
 from chameleon_entity_linking_ray.functions.text import token_counts
 from chameleon_entity_linking_ray.pipelines.analytics import read_table
-from chameleon_entity_linking_ray.stages.agg import grouped_agg, grouped_top_k, top_k
+from chameleon_entity_linking_ray.stages.agg import (
+    distinct,
+    grouped_agg,
+    grouped_top_k,
+    top_k,
+)
 
 # GPT-2-ish pretokenizer classes: letter runs, digit runs, single
 # non-alphanumeric marks. RE2-compatible (no lookarounds) so Arrow and
@@ -554,6 +559,149 @@ def decontaminate(sf_dir: str, n: int = 5, eval_mod: int = 20) -> Dataset:
             "n_ngrams": pa.array(ng, pa.int64()),
             "n_matched": pa.array(matched, pa.int64()),
             "contaminated": pa.array(matched > 0, pa.bool_()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------------------------------- LM scoring / dup spans
+
+@ray.remote
+def _count_map(*blocks) -> tuple[dict, int]:
+    """Union per-block (token, cnt) partials into one {token: count} dict
+    plus the corpus total — worker-task assembly from block refs (the
+    unigram LM of a 100 TB corpus is bounded by the VOCABULARY, so a
+    broadcast dict is the right shape)."""
+    out: dict = {}
+    total = 0
+    for b in blocks:
+        t = (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+        if t.num_rows == 0:  # empty blocks can lose the schema
+            continue
+        for tok, c in zip(t.column("tok").to_pylist(),
+                          t.column("cnt").to_pylist()):
+            out[tok] = out.get(tok, 0) + int(c)
+            total += int(c)
+    return out, total
+
+
+def doc_logprob(sf_dir: str) -> Dataset:
+    """Per-document mean unigram log-probability — the KenLM-style
+     'perplexity' quality score every pretraining pipeline gates on
+    (CCNet / LLaMA data prep), with the corpus itself as the LM.
+
+    Two passes: (1) combiner token counts (per-block value_counts, one
+    tiny grouped_agg keyed by token — shuffle O(vocabulary)), unioned
+    into a broadcast {token: count} dict by a worker task; (2) map-only
+    scoring — mean over token positions of ln(count/total). No smoothing
+    term is needed: every scored token is in the LM by construction.
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.greater(pc.utf8_length(text), 0)
+        toks = pc.split_pattern_regex(text.filter(keep), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = pd.Series(toks.flatten().to_pylist()).value_counts()
+        return pa.table({"tok": pa.array(vc.index, pa.string()),
+                         "cnt": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    counts = grouped_agg(docs.map_batches(tok_partial, batch_format="pyarrow"),
+                         ["tok"], {"cnt": ("cnt", "sum")})
+    ref = _count_map.remote(*counts.to_arrow_refs())
+
+    def score(batch: pa.Table) -> pa.Table:
+        cmap, total = ray.get(ref)
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.greater(pc.utf8_length(text), 0)
+        sub = batch.filter(keep)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(sub.column("text")), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pd.Series(toks.flatten().to_pylist())
+        off = np.asarray(toks.offsets)
+        lens = np.diff(off).astype(np.int64)
+        cnt = flat.map(cmap).to_numpy(np.float64)
+        lp = np.log(cnt / float(total))
+        sums = np.add.reduceat(lp, off[:-1]) if len(lp) else np.empty(0)
+        return pa.table({
+            "doc_id": sub.column("doc_id"),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "logprob": pa.array(sums / lens, pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+@ray.remote
+def _dup_gram_set(*blocks) -> frozenset:
+    """Grams whose document frequency is >= 2, as a broadcast frozenset —
+    bounded by the number of DUPLICATED grams (tiny unless the corpus is
+    pathological), not by the corpus."""
+    out: set = set()
+    for b in blocks:
+        t = (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+        if t.num_rows:
+            out.update(t.column("g").to_pylist())
+    return frozenset(out)
+
+
+def dup_spans(sf_dir: str, n: int = 8) -> Dataset:
+    """Exact duplicated-substring statistics at fixed n — the bounded
+    form of suffix-array substring dedup (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): for every document,
+    how many word n-gram positions also occur in ANOTHER document.
+
+    Dataflow: per-block distinct (gram, doc) partials -> bucketed exact
+    distinct -> combiner count by gram = document frequency (shuffle
+    O(distinct grams)); grams with df >= 2 are unioned into a broadcast
+    frozenset by a worker task (bounded by the duplicated-gram count,
+    not the corpus); one map-only pass then scores every doc. Output:
+    n-gram positions, positions duplicated elsewhere, and the duplicated
+    fraction — the signal substring-dedup pipelines cut on.
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def gram_doc_partial(batch: pa.Table) -> pa.Table:
+        grams, doc_of, _ = _word_ngrams(batch, n)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        part = pd.DataFrame({"g": grams, "doc_id": ids[doc_of]}) \
+            .drop_duplicates()
+        return pa.table({"g": pa.array(part["g"], pa.string()),
+                         "doc_id": pa.array(part["doc_id"].to_numpy(np.int64),
+                                            pa.int64())})
+
+    gd = distinct(docs.map_batches(gram_doc_partial, batch_format="pyarrow"),
+                  ["g", "doc_id"])
+    df_tbl = grouped_agg(gd, ["g"], {"df": (None, "count")})
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("df"), 2)
+        return pa.table({"g": batch.filter(keep).column("g")})
+
+    ref = _dup_gram_set.remote(
+        *df_tbl.map_batches(dup_only, batch_format="pyarrow").to_arrow_refs())
+
+    def score(batch: pa.Table) -> pa.Table:
+        dups = ray.get(ref)
+        grams, doc_of, ng = _word_ngrams(batch, n)
+        if len(grams):
+            hit = pd.Series(grams).isin(dups).to_numpy()
+            ndup = np.bincount(doc_of, weights=hit,
+                               minlength=batch.num_rows).astype(np.int64)
+        else:
+            ndup = np.zeros(batch.num_rows, np.int64)
+        frac = np.where(ng > 0, ndup / np.maximum(ng, 1), 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_ngrams": pa.array(ng, pa.int64()),
+            "n_dup": pa.array(ndup, pa.int64()),
+            "dup_frac": pa.array(frac, pa.float64()),
         })
 
     return docs.map_batches(score, batch_format="pyarrow")

@@ -144,3 +144,93 @@ class TestDecontaminate:
         assert got["n_ngrams"].tolist() == [0, 0, 0, 3]
         assert got["n_matched"].tolist() == [0, 0, 0, 0]
         assert (~got["contaminated"]).all()
+
+
+class TestDocLogprob:
+    def test_matches_bruteforce(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.traindata import (
+            doc_logprob,
+        )
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(9)]
+        texts = [" ".join(rng.choice(vocab, rng.integers(2, 20)))
+                 for _ in range(60)]
+        texts[5] = ""      # empty docs are excluded (no tokens to score)
+        texts[6] = "   "
+        df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                           "text": texts})
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+        got = doc_logprob(str(sf)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+        from collections import Counter
+        all_toks = [t for s in texts if s.strip() for t in s.split()]
+        c, total = Counter(all_toks), len(all_toks)
+        ref = []
+        for i, s in enumerate(texts):
+            if not s.strip():
+                continue
+            toks = s.split()
+            lp = float(np.mean([np.log(c[t] / total) for t in toks]))
+            ref.append((i, len(toks), lp))
+        ref = pd.DataFrame(ref, columns=["doc_id", "n_tokens", "logprob"])
+        assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert got["n_tokens"].tolist() == ref["n_tokens"].tolist()
+        np.testing.assert_allclose(got["logprob"], ref["logprob"],
+                                   rtol=0, atol=1e-12)
+        # a doc of only the rarest token scores below one of the most
+        # common token
+        rare = min(c, key=lambda k: c[k])
+        common = max(c, key=lambda k: c[k])
+        assert np.log(c[rare] / total) < np.log(c[common] / total)
+
+
+class TestDupSpans:
+    def test_matches_bruteforce(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.traindata import dup_spans
+        rng = np.random.default_rng(13)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [" ".join(rng.choice(vocab, rng.integers(5, 25)))
+                 for _ in range(50)]
+        # plant a shared 6-token run inside two otherwise-different docs
+        shared = "a b c d e f"
+        texts[3] = texts[3] + " " + shared
+        texts[9] = shared + " " + texts[9]
+        df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                           "text": texts})
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+
+        n = 4
+        got = dup_spans(str(sf), n=n).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+        def grams(t):
+            toks = t.strip().split()
+            return [" ".join(toks[i:i + n])
+                    for i in range(max(len(toks) - n + 1, 0))]
+
+        from collections import defaultdict
+        docs_of = defaultdict(set)
+        for i, t in enumerate(texts):
+            for g in grams(t):
+                docs_of[g].add(i)
+        ref = []
+        for i, t in enumerate(texts):
+            gs = grams(t)
+            nd = sum(len(docs_of[g]) >= 2 for g in gs)
+            ref.append((i, len(gs), nd,
+                        nd / len(gs) if gs else 0.0))
+        ref = pd.DataFrame(ref, columns=["doc_id", "n_ngrams", "n_dup",
+                                         "dup_frac"])
+        assert got["n_ngrams"].tolist() == ref["n_ngrams"].tolist()
+        assert got["n_dup"].tolist() == ref["n_dup"].tolist()
+        np.testing.assert_allclose(got["dup_frac"], ref["dup_frac"])
+        # the planted shared run is detected in both hosts, and clean
+        # docs exist
+        assert got.loc[got.doc_id == 3, "n_dup"].iloc[0] >= 3
+        assert got.loc[got.doc_id == 9, "n_dup"].iloc[0] >= 3
+        assert (got["n_dup"] == 0).any()
