@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": T.decontaminate,
         "doc_logprob": T.doc_logprob,
         "dup_spans": T.dup_spans,
+        "source_mix": T.source_mix,
+        "budget_sample": T.budget_sample,
     }
 
 
@@ -1111,6 +1113,42 @@ def oracle_sql() -> dict[str, str]:
                              CAST(GREATEST(len(tk.t) - 7, 0) AS DOUBLE)
                         ELSE 0.0 END AS dup_frac
             FROM tk LEFT JOIN m ON tk.doc_id = m.doc_id""",
+        # domain-mix table: token shares + uniform-target mixture weights
+        "source_mix": r"""
+            WITH tk AS (SELECT source,
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text),
+                                                            '\s+')) END
+                               AS n_tokens
+                        FROM documents),
+                 a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                              CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+                       FROM tk GROUP BY source),
+                 t AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total,
+                              CAST(COUNT(*) AS DOUBLE) AS k
+                       FROM a)
+            SELECT a.source, a.n_docs, a.n_tokens,
+                   a.n_tokens / t.total AS token_share,
+                   (1.0 / t.k) / (a.n_tokens / t.total) AS mix_weight
+            FROM a CROSS JOIN t""",
+        # per-source token-budget prefix sample in md5-rank order
+        "budget_sample": r"""
+            WITH tk AS (SELECT doc_id, source,
+                           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text),
+                                                            '\s+')) END
+                               AS BIGINT) AS n_tokens,
+                           md5(CAST(doc_id AS VARCHAR)) AS skey
+                        FROM documents),
+                 w AS (SELECT doc_id, source, n_tokens,
+                              SUM(n_tokens) OVER (
+                                  PARTITION BY source
+                                  ORDER BY skey, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+                       FROM tk)
+            SELECT doc_id, source, n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM w WHERE cum <= 600""",
     }
 
 

@@ -705,3 +705,83 @@ def dup_spans(sf_dir: str, n: int = 8) -> Dataset:
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# ------------------------------------------------- domain mixing / budgets
+
+def source_mix(sf_dir: str) -> Dataset:
+    """Per-source corpus composition and uniform-target mixture weights —
+    the domain-reweighting table a pretraining run samples from
+    (DoReMi-style weights are one softmax away; the uniform target keeps
+    the arithmetic SQL-checkable).
+
+    One combiner grouped_agg to (source, n_docs, n_tokens) — shuffle
+    O(#sources) — then a single-block pass computes token shares and
+    weight = (1/#sources) / share. Exact int token sums; shares/weights
+    are int/int IEEE divisions, bit-stable across engines.
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch.column("source"),
+            "n_tokens": pc.cast(token_counts(batch.column("text")),
+                                pa.int64()),
+        })
+
+    agg = grouped_agg(docs.map_batches(prep, batch_format="pyarrow"),
+                      ["source"], {"n_docs": (None, "count"),
+                                   "n_tokens": ("n_tokens", "sum")})
+
+    def shares(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        total = float(df["n_tokens"].sum())
+        k = len(df)
+        share = df["n_tokens"].to_numpy(np.float64) / total
+        return pa.table({
+            "source": pa.array(df["source"], pa.string()),
+            "n_docs": pa.array(df["n_docs"].to_numpy(np.int64), pa.int64()),
+            "n_tokens": pa.array(df["n_tokens"].to_numpy(np.int64),
+                                 pa.int64()),
+            "token_share": pa.array(share, pa.float64()),
+            "mix_weight": pa.array((1.0 / k) / share, pa.float64()),
+        })
+
+    # the aggregate is #sources rows — one block, one pass
+    return agg.repartition(1).map_batches(shares, batch_format="pyarrow")
+
+
+def budget_sample(sf_dir: str, token_budget: int = 600) -> Dataset:
+    """Per-source token-budget sampling: within each source, take
+    documents in deterministic md5-rank order while the running token
+    sum stays within ``token_budget`` — how a mixing pipeline fills each
+    domain's quota reproducibly (hash order survives resume and
+    repartition, unlike any randomized reservoir).
+
+    One bucketed shuffle co-locates each source (same grouped shape as
+    ``stratified_sample``); the per-group kernel is a sort by
+    (md5(doc_id), doc_id) + cumsum + prefix cut. Only (doc_id, source,
+    n_tokens, skey) rows move — never text.
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_tokens": pc.cast(token_counts(batch.column("text")),
+                                pa.int64()),
+            "skey": pa.array(_md5_hex(ids), pa.string()),
+        })
+
+    def take_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["skey", "doc_id"], kind="mergesort")
+        cum = np.cumsum(g["n_tokens"].to_numpy(np.int64))
+        keep = cum <= token_budget
+        out = g.loc[keep, ["doc_id", "source", "n_tokens"]].copy()
+        out["cum_tokens"] = cum[keep]
+        return out
+
+    return docs.map_batches(prep, batch_format="pyarrow") \
+        .groupby("source").map_groups(take_prefix, batch_format="pandas")

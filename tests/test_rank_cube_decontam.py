@@ -234,3 +234,50 @@ class TestDupSpans:
         assert got.loc[got.doc_id == 3, "n_dup"].iloc[0] >= 3
         assert got.loc[got.doc_id == 9, "n_dup"].iloc[0] >= 3
         assert (got["n_dup"] == 0).any()
+
+
+class TestSourceMixBudgetSample:
+    def test_source_mix_shares_and_weights(self):
+        from chameleon_entity_linking_ray.pipelines.traindata import source_mix
+        got = source_mix("/root/testdata/sf0.001").to_pandas()
+        assert np.isclose(got["token_share"].sum(), 1.0)
+        # uniform-target weights: weighted shares are equal across sources
+        w = got["mix_weight"].to_numpy() * got["token_share"].to_numpy()
+        assert np.allclose(w, 1.0 / len(got))
+
+    def test_budget_sample_prefix_property(self, tmp_path):
+        import hashlib
+        from chameleon_entity_linking_ray.pipelines.traindata import (
+            budget_sample,
+        )
+        rng = np.random.default_rng(19)
+        n = 120
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": [f"s{i % 3}" for i in range(n)],
+            "lang": "en",
+            "text": [" ".join(["tok"] * int(rng.integers(5, 60)))
+                     for _ in range(n)],
+            "n_chars": 0,
+        })
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+        budget = 300
+        got = budget_sample(str(sf), token_budget=budget).to_pandas()
+        toks = {r.doc_id: len(r.text.split()) for r in df.itertuples()}
+        key = {i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+               for i in range(n)}
+        for src, sub in got.groupby("source"):
+            assert sub["cum_tokens"].max() <= budget
+            # kept set is exactly the maximal hash-order prefix
+            order = sorted(
+                (i for i in range(n) if df.loc[i, "source"] == src),
+                key=lambda i: key[i])
+            cum, want = 0, []
+            for i in order:
+                cum += toks[i]
+                if cum > budget:
+                    break
+                want.append(i)
+            assert sorted(sub["doc_id"]) == sorted(want)
