@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": T.dup_spans,
         "source_mix": T.source_mix,
         "budget_sample": T.budget_sample,
+        "approx_distinct": T.approx_distinct,
     }
 
 
@@ -1149,6 +1150,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens,
                    CAST(cum AS BIGINT) AS cum_tokens
             FROM w WHERE cum <= 600""",
+        # KMV distinct sketch: the k minimum md5 values are a
+        # deterministic set, so even the ESTIMATE is value-verifiable;
+        # 16^15 = 2^60 (exact power of two) keeps the division
+        # bit-identical across engines
+        "approx_distinct": """
+            WITH h AS (SELECT DISTINCT
+                           CAST(concat('0x', substr(md5(text), 1, 15))
+                                AS UBIGINT) AS v
+                       FROM documents),
+                 s AS (SELECT v FROM h ORDER BY v LIMIT 256),
+                 a AS (SELECT COUNT(*) AS m, MAX(v) AS kth FROM s)
+            SELECT CAST(256 AS BIGINT) AS k,
+                   CAST(m AS BIGINT) AS n_hashes,
+                   CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+                        ELSE (256 - 1) /
+                             (CAST(kth AS DOUBLE) / POWER(16, 15))
+                   END AS n_distinct_est
+            FROM a""",
     }
 
 

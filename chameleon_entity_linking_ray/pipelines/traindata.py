@@ -785,3 +785,58 @@ def budget_sample(sf_dir: str, token_budget: int = 600) -> Dataset:
 
     return docs.map_batches(prep, batch_format="pyarrow") \
         .groupby("source").map_groups(take_prefix, batch_format="pandas")
+
+
+# ------------------------------------------------------------ KMV sketch
+
+@ray.remote
+def _kmv_merge(k: int, *blocks) -> pa.Table:
+    """Merge per-block KMV candidate sets: global distinct, sort, keep the
+    k smallest, estimate. The merge input is <= k rows per block — tiny by
+    construction, the defining property of a mergeable sketch."""
+    parts = []
+    for b in blocks:
+        t = (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+        if t.num_rows:
+            parts.append(t.column("v").to_numpy(zero_copy_only=False))
+    hs = (np.unique(np.concatenate(parts)) if parts
+          else np.empty(0, np.uint64))
+    m = min(len(hs), k)
+    if m < k:
+        est = float(m)
+    else:
+        kth = float(hs[k - 1])  # hs is sorted ascending
+        est = (k - 1) / (kth / 16.0 ** 15)
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_hashes": pa.array([m], pa.int64()),
+        "n_distinct_est": pa.array([est], pa.float64()),
+    })
+
+
+def approx_distinct(sf_dir: str, k: int = 256) -> Dataset:
+    """Approximate COUNT(DISTINCT text) via a KMV (k-minimum-values)
+    sketch — the mergeable distinct-count sketch a 100 TB profiler uses
+    where exact distinct would shuffle every row: each block contributes
+    its k smallest md5 values (the combiner), the merge keeps the global
+    k smallest, and est = (k-1) / normalized kth value. Standard error
+    ~ 1/sqrt(k-2) (~6% at k=256).
+
+    Unlike HLL this sketch is EXACTLY reproducible in SQL (the k minimum
+    md5 values are a deterministic set), so the estimate itself is
+    value-verified against a DuckDB oracle — a sketch with a bit-exact
+    correctness gate. Shuffle cost: <= k rows per block, never the data.
+    """
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = set(batch.column("text").to_pylist())
+        hs = np.unique(np.fromiter(
+            (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+             for s in texts), np.uint64, len(texts)))
+        return pa.table({"v": pa.array(hs[:k], pa.uint64())})
+
+    cands = docs.map_batches(partial, batch_format="pyarrow")
+    out = ray.get(_kmv_merge.remote(k, *cands.to_arrow_refs()))
+    return ray.data.from_arrow(out)

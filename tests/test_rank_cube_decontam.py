@@ -281,3 +281,54 @@ class TestSourceMixBudgetSample:
                     break
                 want.append(i)
             assert sorted(sub["doc_id"]) == sorted(want)
+
+
+class TestApproxDistinct:
+    def test_estimate_accuracy_and_partition_invariance(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.traindata import (
+            approx_distinct,
+        )
+        rng = np.random.default_rng(29)
+        n, n_distinct = 4000, 1500
+        pool = [f"text number {i} " + "pad " * int(rng.integers(0, 4))
+                for i in range(n_distinct)]
+        texts = [pool[int(i)] for i in rng.integers(0, n_distinct, n)]
+        texts[:len(pool)] = pool  # every distinct value present
+        df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                           "text": texts})
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+        got = approx_distinct(str(sf), k=256).to_pandas()
+        est = float(got["n_distinct_est"].iloc[0])
+        # KMV standard error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+        assert abs(est - n_distinct) / n_distinct < 0.25
+        assert int(got["n_hashes"].iloc[0]) == 256
+
+        # sketch is partition-invariant: same rows in shuffled order and
+        # different file layout yield the SAME estimate (hash-determined)
+        df2 = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+        sf2 = tmp_path / "sf2"
+        sf2.mkdir()
+        half = len(df2) // 2
+        import pyarrow.parquet as pq
+        pq.write_table(pa.Table.from_pandas(df2, preserve_index=False),
+                       sf2 / "documents.parquet",
+                       row_group_size=97)
+        got2 = approx_distinct(str(sf2), k=256).to_pandas()
+        assert float(got2["n_distinct_est"].iloc[0]) == est
+
+    def test_small_cardinality_is_exact(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.traindata import (
+            approx_distinct,
+        )
+        texts = [f"only {i % 7}" for i in range(100)]
+        df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                           "text": texts})
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        df.to_parquet(sf / "documents.parquet")
+        got = approx_distinct(str(sf), k=256).to_pandas()
+        # fewer distincts than k: the sketch IS the exact count
+        assert float(got["n_distinct_est"].iloc[0]) == 7.0
+        assert int(got["n_hashes"].iloc[0]) == 7
