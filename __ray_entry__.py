@@ -185,6 +185,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_copurchase": _q_triangles,
         "segment_percentiles": A.segment_percentiles,
         "pivot_revenue": A.pivot_revenue,
+        "row_number_orders": A.row_number_orders,
+        "user_gaps": A.user_gaps,
+        "segment_stats": A.segment_stats,
+        "customer_order_span": A.customer_order_span,
+        "priority_mode": A.priority_mode,
+        "nation_set_ops": A.nation_set_ops,
+        "user_event_paths": A.user_event_paths,
+        "pareto_parts": A.pareto_parts,
         # --- text analysis (documents) ---
         "doc_tokens": C.doc_tokens,
         "doc_quality": C.doc_quality,
@@ -444,6 +452,103 @@ def oracle_sql() -> dict[str, str]:
                    CAST(DENSE_RANK() OVER (ORDER BY total_c) AS BIGINT)
                        AS drnk
             FROM o""",
+        # ROW_NUMBER / NTILE without a global sort: unique (total_c,
+        # orderkey) order key, exact int arithmetic on both engines
+        "row_number_orders": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(trunc(o_totalprice*100) AS BIGINT)
+                                  AS total_c
+                       FROM orders)
+            SELECT o_orderkey, total_c,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                   CAST(NTILE(7) OVER w AS BIGINT) AS tile
+            FROM o WINDOW w AS (ORDER BY total_c, o_orderkey)""",
+        # per-user LAG gap; (ts_s, event_id) order key is unique so the
+        # gap is deterministic
+        "user_gaps": """
+            WITH e AS (SELECT event_id, user_id,
+                              epoch_us(ts) // 1000000 AS ts_s FROM events),
+            l AS (SELECT event_id, user_id, ts_s,
+                         ts_s - LAG(ts_s) OVER (PARTITION BY user_id
+                             ORDER BY ts_s, event_id) AS gap_s
+                  FROM e)
+            SELECT event_id, user_id, ts_s, CAST(gap_s AS BIGINT) AS gap_s
+            FROM l WHERE gap_s IS NOT NULL""",
+        # grouped variance/stddev from exact integer moments; the final
+        # float expression is written identically on both engines so the
+        # IEEE doubles agree bit-for-bit
+        "segment_stats": """
+            WITH m AS (SELECT c_mktsegment,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CAST(trunc(o_totalprice) AS BIGINT))
+                                   AS BIGINT) AS sum_d,
+                              CAST(SUM(CAST(trunc(o_totalprice) AS BIGINT)
+                                       * CAST(trunc(o_totalprice) AS BIGINT))
+                                   AS BIGINT) AS sumsq_d
+                       FROM orders JOIN customer ON o_custkey = c_custkey
+                       GROUP BY c_mktsegment)
+            SELECT c_mktsegment, n, sum_d,
+                   CAST(sum_d AS DOUBLE) / n AS mean_d,
+                   (CAST(sumsq_d AS DOUBLE)
+                    - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE) / n)
+                   / n AS var_d,
+                   sqrt((CAST(sumsq_d AS DOUBLE)
+                         - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE)
+                           / n) / n) AS std_d
+            FROM m""",
+        # grouped ARG_MIN/ARG_MAX via the same composite day*2^32+orderkey
+        # encoding the engine's combiner min/max uses
+        "customer_order_span": """
+            WITH e AS (SELECT o_custkey,
+                              (epoch_us(o_orderdate) // 1000000 // 86400)
+                              * 4294967296 + o_orderkey AS enc
+                       FROM orders)
+            SELECT o_custkey,
+                   CAST(MIN(enc) // 4294967296 AS BIGINT) AS first_day,
+                   CAST(MIN(enc) % 4294967296 AS BIGINT) AS first_orderkey,
+                   CAST(MAX(enc) // 4294967296 AS BIGINT) AS last_day,
+                   CAST(MAX(enc) % 4294967296 AS BIGINT) AS last_orderkey
+            FROM e GROUP BY o_custkey""",
+        # grouped MODE with a deterministic lexicographic tie-break
+        "priority_mode": """
+            WITH c AS (SELECT o_orderstatus, o_orderpriority,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM orders GROUP BY o_orderstatus, o_orderpriority)
+            SELECT o_orderstatus, o_orderpriority, n FROM c
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                ORDER BY n DESC, o_orderpriority) = 1""",
+        # INTERSECT / EXCEPT as presence tags: 1 = customers only,
+        # 2 = suppliers only, 3 = both
+        "nation_set_ops": """
+            WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT)
+                           AS nationkey FROM customer),
+                 s AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT)
+                           AS nationkey FROM supplier)
+            SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+                   CAST(CASE WHEN c.nationkey IS NOT NULL THEN 1 ELSE 0 END
+                        + CASE WHEN s.nationkey IS NOT NULL THEN 2 ELSE 0
+                          END AS BIGINT) AS tag
+            FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""",
+        # grouped ORDERED collect: string_agg with a unique order key
+        "user_event_paths": """
+            WITH e AS (SELECT event_id, user_id, event_type,
+                              epoch_us(ts) // 1000000 AS ts_s FROM events)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, ',' ORDER BY ts_s, event_id)
+                       AS path
+            FROM e GROUP BY user_id""",
+        # Pareto frontier (skyline): rows with no strict dominator on
+        # (minimize price, maximize size)
+        "pareto_parts": """
+            WITH p AS (SELECT p_partkey,
+                              CAST(trunc(p_retailprice*100) AS BIGINT)
+                                  AS price_c,
+                              CAST(p_size AS BIGINT) AS p_size
+                       FROM part)
+            SELECT p_partkey, price_c, p_size FROM p a
+            WHERE NOT EXISTS (SELECT 1 FROM p b
+                WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+                  AND (b.price_c < a.price_c OR b.p_size > a.p_size))""",
         "cube_revenue": """
             SELECT r_name, n_name,
                    CAST(SUM(CAST(trunc(o_totalprice*100) AS BIGINT))

@@ -860,6 +860,281 @@ def segment_percentiles(sf_dir: str, num_buckets: int = 32) -> Dataset:
         .groupby("sbucket").map_groups(pctl, batch_format="pandas")
 
 
+def row_number_orders(sf_dir: str, n_tiles: int = 7,
+                      num_buckets: int = 32) -> Dataset:
+    """Global ``ROW_NUMBER()`` and ``NTILE(n)`` over (total, orderkey)
+    WITHOUT a global sort — the tie-broken completion of ``rank_orders``:
+
+    - cross-value offsets come from the same broadcast CDF backbone
+      (``_cdf_ref``: one combiner value-count aggregate, O(distinct
+      values) shuffle);
+    - within-tie order (rows sharing a total) is resolved by ONE hash
+      shuffle of just the (total_c, o_orderkey) key pair — narrow rows,
+      never the payload — bucketed by hash(total_c) so every tie class
+      co-locates; a vectorized per-bucket cumcount ranks the ties.
+
+    row_number = (# rows strictly below my value) + (my rank among my
+    ties by orderkey); NTILE follows SQL semantics: the first
+    ``N % n_tiles`` tiles get ``N // n_tiles + 1`` rows. Both are exact
+    int arithmetic — deterministic under any partitioning because the
+    (total_c, o_orderkey) sort key is unique per row.
+    """
+    from chameleon_entity_linking_ray.functions.hashing import mix64
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        tc = _cents(batch.column("o_totalprice"))
+        t = tc.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "total_c": tc,
+            "bucket": pa.array((mix64(t.astype(np.uint64), seed=53)
+                                % np.uint64(num_buckets)).astype(np.int32),
+                               pa.int32()),
+        })
+
+    withc = orders.map_batches(prep, batch_format="pyarrow")
+    ref = _cdf_ref(withc.select_columns(["total_c"]), num_buckets)
+
+    def rank_ties(g: pd.DataFrame) -> pd.DataFrame:
+        vals, cum, n = ray.get(ref)
+        g = g.sort_values(["total_c", "o_orderkey"], kind="mergesort")
+        tc = g["total_c"].to_numpy()
+        pos = np.searchsorted(vals, tc, side="left")
+        below = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
+        tie_rank = np.arange(len(g)) - np.searchsorted(tc, tc, side="left")
+        rn = (below + tie_rank + 1).astype(np.int64)
+        base, rem = divmod(n, n_tiles)
+        boundary = rem * (base + 1)
+        r0 = rn - 1
+        tile = np.where(r0 < boundary, r0 // (base + 1),
+                        rem + (r0 - boundary) // max(base, 1)) + 1
+        return pd.DataFrame({"o_orderkey": g["o_orderkey"].to_numpy(),
+                             "total_c": tc,
+                             "rn": rn, "tile": tile.astype(np.int64)})
+
+    return withc.groupby("bucket").map_groups(rank_ties,
+                                              batch_format="pandas")
+
+
+def user_gaps(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """Per-user ``LAG``: for every event with a predecessor, the gap in
+    seconds to the SAME user's previous event — SQL's
+    ``ts - LAG(ts) OVER (PARTITION BY user ORDER BY ts, event_id)``.
+    One hash-bucket shuffle on user (the shared window-op key), then a
+    fully vectorized per-bucket diff — no per-row Python. The (ts_s,
+    event_id) order key is unique, so the output is deterministic."""
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "user_id"])
+    prep = _user_ts_prep(num_buckets, seed=47, extra=lambda b: {
+        "event_id": b.column("event_id").cast(pa.int64()),
+    })
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_s", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_s"].to_numpy()
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in
+                                 ("event_id", "user_id", "ts_s", "gap_s")})
+        has_prev = np.r_[False, uid[1:] == uid[:-1]]
+        gap = np.r_[0, ts[1:] - ts[:-1]]
+        keep = np.flatnonzero(has_prev)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[keep],
+            "user_id": uid[keep],
+            "ts_s": ts[keep],
+            "gap_s": gap[keep].astype(np.int64),
+        })
+
+    return ev.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(gaps, batch_format="pandas")
+
+
+def segment_stats(sf_dir: str) -> Dataset:
+    """Grouped VARIANCE / STDDEV per market segment in combiner form: the
+    shuffle carries exact integer moments (n, Σx, Σx²) — one partial row
+    per (segment, block) — and the float math happens ONCE per group at
+    the end, with the identical IEEE expression the oracle uses
+    (``(Σx² - Σx·Σx/n)/n``), so results are bit-equal, not just close.
+    x = whole dollars (trunc) so Σx² stays well inside int64 at any
+    realistic scale (document: at 100 TB switch the moments to the
+    pairwise/Chan combiner to bound the integer width)."""
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.trunc(batch.column("o_totalprice")), pa.int64())
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "d": d, "d2": pc.multiply(d, d)})
+
+    j = broadcast_hash_join(orders.map_batches(prep, batch_format="pyarrow"),
+                            cust, on=("o_custkey",),
+                            right_on=("c_custkey",), join_type="inner")
+    moments = grouped_agg(j, keys=["c_mktsegment"],
+                          aggs={"n": (None, "count"),
+                                "sum_d": ("d", "sum"),
+                                "sumsq_d": ("d2", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy().astype(np.float64)
+        s = df["sum_d"].to_numpy().astype(np.float64)
+        s2 = df["sumsq_d"].to_numpy().astype(np.float64)
+        var = (s2 - s * s / n) / n
+        out = df[["c_mktsegment", "n", "sum_d"]].copy()
+        out["mean_d"] = s / n
+        out["var_d"] = var
+        out["std_d"] = np.sqrt(var)
+        return out
+
+    return moments.map_batches(finish, batch_format="pandas")
+
+
+def customer_order_span(sf_dir: str) -> Dataset:
+    """Grouped ARG_MIN / ARG_MAX in pure combiner form: each customer's
+    FIRST and LAST order (by orderdate, ties broken by min orderkey) via
+    min/max over a composite ``day * 2^32 + orderkey`` encoding — the
+    argmin becomes an ordinary associative min, so the shuffle moves one
+    row per (customer, block), never the order rows. Encoding assumption:
+    orderkey < 2^32 (holds through TPC-H SF10k); beyond that, swap the
+    encoded min for a struct-min map_groups over the same buckets."""
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                                           "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.divide(_epoch_seconds(batch.column("o_orderdate")), 86400)
+        enc = pc.add(pc.multiply(day, 4294967296),
+                     batch.column("o_orderkey"))
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "enc": enc})
+
+    agg = grouped_agg(orders.map_batches(prep, batch_format="pyarrow"),
+                      keys=["o_custkey"],
+                      aggs={"lo": ("enc", "min"), "hi": ("enc", "max")})
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["lo"].to_numpy()
+        hi = df["hi"].to_numpy()
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "first_day": lo // 4294967296,
+            "first_orderkey": lo % 4294967296,
+            "last_day": hi // 4294967296,
+            "last_orderkey": hi % 4294967296,
+        })
+
+    return agg.map_batches(decode, batch_format="pandas")
+
+
+def priority_mode(sf_dir: str) -> Dataset:
+    """Grouped MODE: the most frequent order priority per order status,
+    ties broken lexicographically (deterministic, unlike SQL ``mode()``).
+    Combiner counts per (status, priority) first — the shuffle carries
+    O(groups × distinct values) — then a per-group top-1."""
+    orders = read_table(sf_dir, "orders", ["o_orderstatus",
+                                           "o_orderpriority"])
+    counts = grouped_agg(orders, keys=["o_orderstatus", "o_orderpriority"],
+                         aggs={"n": (None, "count")})
+    return grouped_top_k(counts, group_keys=["o_orderstatus"],
+                         by=["n", "o_orderpriority"],
+                         ascending=[False, True], k=1)
+
+
+def nation_set_ops(sf_dir: str) -> Dataset:
+    """Distributed INTERSECT / EXCEPT (set ops Ray Data has no native
+    form for): nation keys tagged by which side(s) they appear on —
+    tag 1 = customers only, 2 = suppliers only, 3 = both. Each side is
+    reduced to its distinct keys per block first (combiner), tagged with
+    a presence bit, and ONE bucketed sum folds the bits; INTERSECT is
+    ``tag == 3``, EXCEPT is ``tag == 1`` — derived from the same pass."""
+    cust = read_table(sf_dir, "customer", ["c_nationkey"])
+    supp = read_table(sf_dir, "supplier", ["s_nationkey"])
+
+    def tag(col: str, bit: int):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = pc.unique(batch.column(col)).cast(pa.int64())
+            return pa.table({
+                "nationkey": keys,
+                "bit": pa.array(np.full(len(keys), bit, np.int64)),
+            })
+        return f
+
+    both = cust.map_batches(tag("c_nationkey", 1), batch_format="pyarrow") \
+        .union(supp.map_batches(tag("s_nationkey", 2),
+                                batch_format="pyarrow"))
+    # distinct (key, bit) first so duplicate per-block partials can't
+    # inflate the presence sum
+    return grouped_agg(distinct(both, ["nationkey", "bit"]),
+                       keys=["nationkey"], aggs={"tag": ("bit", "sum")})
+
+
+def user_event_paths(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """Grouped ORDERED collect (SQL ``string_agg(x, ',' ORDER BY ts)``):
+    each user's event-type sequence in time order as one string — the
+    reference's grouped-collect A1 with an explicit deterministic order
+    key (ts_s, event_id unique per row). One hash-bucket shuffle on
+    user, one vectorized sort + per-group join per bucket."""
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "user_id",
+                                       "event_type"])
+    prep = _user_ts_prep(num_buckets, seed=59, extra=lambda b: {
+        "event_id": b.column("event_id").cast(pa.int64()),
+        "event_type": b.column("event_type").cast(pa.string()),
+    })
+
+    def paths(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_s", "event_id"], kind="mergesort")
+        out = g.groupby("user_id", sort=False)["event_type"] \
+            .agg([("path", ",".join), ("n_events", "size")]).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[["user_id", "n_events", "path"]]
+
+    return ev.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(paths, batch_format="pandas")
+
+
+def _pareto_frontier(df: pd.DataFrame) -> pd.DataFrame:
+    """Rows not strictly dominated on (minimize price_c, maximize p_size).
+    Vectorized: sort by (price asc, size desc), per-price-class max size,
+    strict prefix-max over cheaper classes. Duplicates on both axes are
+    kept (neither strictly dominates)."""
+    if len(df) == 0:
+        return df
+    df = df.sort_values(["price_c", "p_size", "p_partkey"],
+                        ascending=[True, False, True], kind="mergesort")
+    price = df["price_c"].to_numpy()
+    size = df["p_size"].to_numpy()
+    new_class = np.r_[True, price[1:] != price[:-1]]
+    class_id = np.cumsum(new_class) - 1
+    class_max = size[np.flatnonzero(new_class)]  # sorted desc within class
+    prev_best = np.r_[np.iinfo(np.int64).min,
+                      np.maximum.accumulate(class_max)[:-1]]
+    keep = (size == class_max[class_id]) & (class_max[class_id] >
+                                            prev_best[class_id])
+    return df[keep]
+
+
+def pareto_parts(sf_dir: str) -> Dataset:
+    """Pareto frontier (skyline) over parts — cheapest-for-their-size
+    rows: no other part is at most as expensive AND at least as large
+    with one strict improvement. The frontier is a valid COMBINER (the
+    global frontier is a subset of the union of per-block frontiers), so
+    each block prunes its dominated rows locally and only the tiny local
+    frontiers reach the final single-block pass — no all-pairs work, no
+    full shuffle."""
+    part = read_table(sf_dir, "part", ["p_partkey", "p_size",
+                                       "p_retailprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": batch.column("p_partkey"),
+                         "price_c": _cents(batch.column("p_retailprice")),
+                         "p_size": batch.column("p_size").cast(pa.int64())})
+
+    local = part.map_batches(prep, batch_format="pyarrow") \
+        .map_batches(_pareto_frontier, batch_format="pandas")
+    return local.repartition(1).map_batches(_pareto_frontier,
+                                            batch_format="pandas")
+
+
 # the TPC-H market segments are a fixed enumeration; a pivot needs its
 # output columns known up front on BOTH engines
 _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
