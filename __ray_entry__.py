@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_fuzzy": C.dedup_fuzzy_docs,
         "corpus_prep": _q_corpus_prep,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
+        "edit_distance_pairs": C.edit_distance_pairs,
         "embedding_near_dups": C.embedding_near_dups,
         "embedding_near_dups_lsh": C.embedding_near_dups_lsh,
         # --- similarity search / vector pooling ---
@@ -817,6 +818,17 @@ def oracle_sql() -> dict[str, str]:
                             JOIN sets sb ON sb.doc_id = c.right_doc
             )
             SELECT left_doc, right_doc, jaccard FROM j WHERE jaccard >= 0.5""",
+        # edit-distance similarity join blocked on the first name token;
+        # value-verifies the scorer's batched Levenshtein DP kernel
+        "edit_distance_pairs": """
+            WITH p AS (SELECT p_partkey, p_name,
+                              string_split(p_name, ' ')[1] AS tok
+                       FROM part)
+            SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+            FROM p a JOIN p b ON a.tok = b.tok
+              AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 10""",
         "embedding_near_dups": """
             SELECT * FROM (
                 SELECT a.vec_id AS left_vec, b.vec_id AS right_vec,

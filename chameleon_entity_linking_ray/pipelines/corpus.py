@@ -1147,3 +1147,80 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
         return df[["query_id", "vec_id", "rnk"]]
 
     return out.map_batches(shape, batch_format="pandas")
+
+
+def edit_distance_pairs(sf_dir: str, cap: int = 10,
+                        num_buckets: int = 32) -> Dataset:
+    """Edit-distance similarity join over part names: all pairs of parts
+    sharing their FIRST name token with Levenshtein distance <= ``cap``
+    — a value-level SQL oracle (DuckDB ``levenshtein()``) for the same
+    batched DP kernel the flagship scorer uses
+    (stages/scoring.py:levenshtein_batch), pinning the string-similarity
+    core of T2 (/root/reference/CrossEncoder/model.py:36-62's pairwise
+    scoring role) beyond the rows-only linkage check.
+
+    Shape: ONE hash-bucket shuffle on the blocking token; per bucket a
+    vectorized segment all-pairs emission (ragged arange, no Python
+    loops over pairs), a |len(a)-len(b)| <= cap prefilter, then the
+    batched DP whose cost is O(maxlen^2) numpy steps per bucket — never
+    per pair. Blocking assumption: first-token groups are bounded (the
+    colors/adjectives vocabulary); for open-vocabulary corpora reuse the
+    rare-shingle df-cap blocking of ngram_jaccard_pairs instead.
+    """
+    from chameleon_entity_linking_ray.stages.scoring import levenshtein_batch
+
+    part = read_table(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        names = batch.column("p_name").cast(pa.string())
+        tok = pc.list_element(pc.split_pattern(names, " "), 0)
+        h = hash64(np.asarray(tok.to_pylist(), dtype=object))
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "p_name": names,
+            "tok": tok,
+            "bucket": pa.array((h % np.uint64(num_buckets))
+                               .astype(np.int32), pa.int32()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tok", "p_partkey"], kind="mergesort")
+        out_empty = pd.DataFrame({
+            "part_a": pd.Series(dtype=np.int64),
+            "part_b": pd.Series(dtype=np.int64),
+            "lev": pd.Series(dtype=np.int64)})
+        n = len(g)
+        if n == 0:
+            return out_empty
+        tok = g["tok"].to_numpy()
+        keys = g["p_partkey"].to_numpy()
+        names = g["p_name"].to_numpy()
+        # segment all-pairs: for anchor i, partners i+1..seg_end-1
+        new_seg = np.r_[True, tok[1:] != tok[:-1]]
+        seg_id = np.cumsum(new_seg) - 1
+        seg_starts = np.flatnonzero(new_seg)
+        seg_sizes = np.diff(np.r_[seg_starts, n])
+        seg_end = (seg_starts + seg_sizes)[seg_id]
+        idx = np.arange(n)
+        counts = seg_end - idx - 1
+        total = int(counts.sum())
+        if total == 0:
+            return out_empty
+        idx_a = np.repeat(idx, counts)
+        starts = np.cumsum(counts) - counts
+        idx_b = np.arange(total) - np.repeat(starts, counts) \
+            + np.repeat(idx + 1, counts)
+        # length prefilter bounds the DP width and kills most pairs
+        ln = np.fromiter(map(len, names), np.int64, n)
+        keep = np.abs(ln[idx_a] - ln[idx_b]) <= cap
+        idx_a, idx_b = idx_a[keep], idx_b[keep]
+        if idx_a.size == 0:
+            return out_empty
+        lev = levenshtein_batch(list(names[idx_a]), list(names[idx_b]))
+        hit = lev <= cap
+        return pd.DataFrame({"part_a": keys[idx_a[hit]],
+                             "part_b": keys[idx_b[hit]],
+                             "lev": lev[hit]})
+
+    return part.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")

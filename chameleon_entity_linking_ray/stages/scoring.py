@@ -62,14 +62,20 @@ def edit_similarity(a: str, b: str) -> float:
     return max(0.0, 1.0 - prev[lb] / max(la, lb))
 
 
-def _dp_batch(A: list[str], B: list[str]) -> np.ndarray:
-    """Batched Levenshtein DP over UTF-32 codepoint matrices: the j-loop is
-    sequential (cur[j-1] dependency) but every cell op is vectorized over
-    ALL pairs — O(maxLa*maxLb) numpy steps instead of per-pair Python."""
+def levenshtein_batch(A: list[str], B: list[str]) -> np.ndarray:
+    """Raw batched Levenshtein distances (int64) over UTF-32 codepoint
+    matrices: the j-loop is sequential (cur[j-1] dependency) but every
+    cell op is vectorized over ALL pairs — O(maxLa*maxLb) numpy steps
+    instead of per-pair Python. Handles empty strings (dist = other
+    length)."""
     n = len(A)
+    if n == 0:
+        return np.empty(0, np.int64)
     la = np.fromiter(map(len, A), np.int64, n)
     lb = np.fromiter(map(len, B), np.int64, n)
     La, Lb = int(la.max()), int(lb.max())
+    if La == 0 or Lb == 0:
+        return (la + lb).astype(np.int64)
     # distinct pad sentinels so padding never matches
     arr_a = np.frombuffer("".join(a.ljust(La, "\0") for a in A)
                           .encode("utf-32-le"), np.uint32).reshape(n, La)
@@ -77,7 +83,7 @@ def _dp_batch(A: list[str], B: list[str]) -> np.ndarray:
                           .encode("utf-32-le"), np.uint32).reshape(n, Lb)
     prev = np.tile(np.arange(Lb + 1, dtype=np.int32), (n, 1))
     cur = np.empty_like(prev)
-    dist = np.zeros(n, np.int32)
+    dist = lb.astype(np.int32)  # rows with la == 0 never hit `done`
     for i in range(1, La + 1):
         cur[:, 0] = i
         ca = arr_a[:, i - 1]
@@ -89,6 +95,14 @@ def _dp_batch(A: list[str], B: list[str]) -> np.ndarray:
         if done.any():
             dist[done] = cur[done, lb[done]]
         prev, cur = cur, prev
+    return dist.astype(np.int64)
+
+
+def _dp_batch(A: list[str], B: list[str]) -> np.ndarray:
+    n = len(A)
+    la = np.fromiter(map(len, A), np.int64, n)
+    lb = np.fromiter(map(len, B), np.int64, n)
+    dist = levenshtein_batch(A, B)
     # float64 end-to-end: cached values must be bit-equal to the scalar
     # edit_similarity path (which computes 1 - dist/max in float64), so the
     # memo cache yields identical scores no matter which path populated it
