@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events_orders": A.asof_join_events_orders,
         "sessionize_events": A.sessionize_events,
         "rolling_user_window": A.rolling_user_window,
+        "moving_avg_user": A.moving_avg_user,
         "event_pairs_within": A.event_pairs_within,
         "rollup_revenue": A.rollup_revenue,
         "cume_dist_orders": A.cume_dist_orders,
@@ -253,6 +254,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": T.source_mix,
         "budget_sample": T.budget_sample,
         "approx_distinct": T.approx_distinct,
+        "heavy_hitters": T.heavy_hitters,
+        # --- in-engine BM25 (replaces the reference's pre-built
+        #     Anserini run file, CrossEncoder/test.py:61-75) ---
+        "bm25_topk": C.bm25_topk,
     }
 
 
@@ -453,6 +458,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(DENSE_RANK() OVER (ORDER BY total_c) AS BIGINT)
                        AS drnk
             FROM o""",
+        # ROWS-mode trailing window: unique (ts_s, event_id) order key;
+        # sums exact int cents, avg = IEEE division of the exact ints
+        "moving_avg_user": """
+            WITH e AS (SELECT event_id, user_id,
+                              epoch_us(ts) // 1000000 AS ts_s,
+                              CAST(trunc(value*100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id, ts_s,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS ma_sum_c,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS ma_count,
+                   CAST(SUM(cents) OVER w AS DOUBLE)
+                       / (COUNT(*) OVER w) AS ma_avg_c
+            FROM e WINDOW w AS (PARTITION BY user_id
+                ORDER BY ts_s, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+        # exact frequent elements: the bounded-memory two-pass engine
+        # answer equals the plain HAVING-threshold SQL by construction
+        "heavy_hitters": r"""
+            WITH tk AS (SELECT unnest(string_split_regex(trim(text),
+                                                         '\s+')) AS token
+                        FROM documents WHERE length(trim(text)) > 0)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk
+            GROUP BY token
+            HAVING COUNT(*) * 64 > (SELECT COUNT(*) FROM tk)""",
+        # in-engine BM25 (k1=1.2, b=0.75, idf = ln(1+(N-df+.5)/(df+.5)));
+        # scores rounded to 6 dp then tie-broken by doc_id on both sides
+        "bm25_topk": r"""
+            WITH q(query_id, term) AS (VALUES
+                ('q1','hash'), ('q1','join'), ('q1','table'),
+                ('q2','window'), ('q2','agg'), ('q2','stream'),
+                ('q3','fast'), ('q3','scan'), ('q3','filter')),
+            tk AS (SELECT doc_id, unnest(string_split_regex(trim(text),
+                                                            '\s+')) AS tok
+                   FROM documents WHERE length(trim(text)) > 0),
+            dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+                   FROM tk GROUP BY doc_id),
+            stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                             (SELECT CAST(SUM(dl) AS DOUBLE)
+                                     / (SELECT COUNT(*) FROM documents)
+                              FROM dl) AS avgdl),
+            tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+                   FROM tk WHERE tok IN (SELECT term FROM q)
+                   GROUP BY doc_id, tok),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+                SELECT q.query_id, tf.doc_id,
+                       ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                           AS c
+                FROM q JOIN tf ON q.term = tf.term
+                  JOIN df ON df.term = q.term
+                  JOIN dl ON dl.doc_id = tf.doc_id
+                  CROSS JOIN stats s),
+            scored AS (SELECT query_id, doc_id,
+                              ROUND(SUM(c), 6) AS score
+                       FROM contrib GROUP BY query_id, doc_id)
+            SELECT query_id, doc_id, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+            FROM scored
+            QUALIFY rnk <= 10""",
         # ROW_NUMBER / NTILE without a global sort: unique (total_c,
         # orderkey) order key, exact int arithmetic on both engines
         "row_number_orders": """

@@ -585,6 +585,57 @@ def event_pairs_within(sf_dir: str, window_s: int = 21600,
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
+def moving_avg_user(sf_dir: str, win: int = 3,
+                    num_buckets: int = 32) -> Dataset:
+    """ROWS-mode moving window per user: sum/count of the trailing
+    ``win`` events (SQL ``ROWS BETWEEN win-1 PRECEDING AND CURRENT
+    ROW``) ordered by the unique (ts_s, event_id) key — the row-counted
+    sibling of ``rolling_user_window``'s RANGE windows. Same one
+    hash-bucket shuffle on user; the per-bucket kernel is a prefix-sum
+    difference with a clamped window start — fully vectorized. Sums are
+    integer cents so the result is exact; the avg is emitted as the
+    IEEE division of the two exact ints (bit-identical cross-engine)."""
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "user_id",
+                                       "value"])
+    prep = _user_ts_prep(num_buckets, seed=61, extra=lambda b: {
+        "event_id": b.column("event_id").cast(pa.int64()),
+        "cents": _cents(b.column("value")),
+    })
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_s", "event_id"], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype=np.int64),
+                "user_id": pd.Series(dtype=np.int64),
+                "ts_s": pd.Series(dtype=np.int64),
+                "ma_sum_c": pd.Series(dtype=np.int64),
+                "ma_count": pd.Series(dtype=np.int64),
+                "ma_avg_c": pd.Series(dtype=np.float64)})
+        uid = g["user_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        idx = np.arange(n)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        user_start = idx[new_user]
+        pos = idx - np.repeat(user_start, np.diff(np.r_[user_start, n]))
+        lo = idx - np.minimum(pos, win - 1)
+        cs = np.concatenate(([0], np.cumsum(cents)))
+        s = (cs[idx + 1] - cs[lo]).astype(np.int64)
+        c = (idx - lo + 1).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": uid,
+            "ts_s": g["ts_s"].to_numpy(),
+            "ma_sum_c": s,
+            "ma_count": c,
+            "ma_avg_c": s.astype(np.float64) / c,
+        })
+
+    return ev.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(roll, batch_format="pandas")
+
+
 def rollup_revenue(sf_dir: str) -> Dataset:
     """GROUPING-SETS / ROLLUP aggregate: revenue by (region, nation) plus
     per-region subtotals and a grand total — SQL's

@@ -1224,3 +1224,116 @@ def edit_distance_pairs(sf_dir: str, cap: int = 10,
 
     return part.map_batches(prep, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+# fixed benchmark queries over the synthetic document vocabulary — the
+# engine analog of the reference's fixed dev-query set
+# (/root/reference/BiEncoder/test.py:37-43)
+BM25_QUERIES: dict[str, str] = {
+    "q1": "hash join table",
+    "q2": "window agg stream",
+    "q3": "fast scan filter",
+}
+
+
+@ray.remote
+def _bm25_stats(m: int, *blocks) -> tuple[int, float, np.ndarray]:
+    """(N docs, avgdl, df per term) from the per-doc tf table's block
+    refs — assembled in a worker task; the driver holds only the ref."""
+    n_docs = 0
+    sum_dl = 0
+    df = np.zeros(m, np.int64)
+    for b in blocks:
+        t = (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+        if t.num_rows == 0:
+            continue
+        n_docs += t.num_rows
+        sum_dl += int(pc.sum(t.column("dl")).as_py())
+        for i in range(m):
+            df[i] += int(pc.sum(pc.cast(pc.greater(
+                t.column(f"tf{i}"), 0), pa.int64())).as_py())
+    return n_docs, sum_dl / max(n_docs, 1), df
+
+
+def bm25_topk(sf_dir: str, k: int = 10, k1: float = 1.2,
+              b: float = 0.75) -> Dataset:
+    """Distributed BM25 retrieval: top-k documents per benchmark query —
+    the scoring the reference DELEGATES to a pre-built Anserini BM25 run
+    file (/root/reference/CrossEncoder/test.py:61-75 reads
+    ``runbm25anserini``; this computes the same ranking in-engine).
+
+    Shape: ONE tokenize pass emits a narrow per-doc table (doc_id, dl,
+    tf per query term — a handful of int columns); a worker task folds
+    its block refs into (N, avgdl, df) — O(#terms) broadcast state; the
+    scoring pass is map-only vectorized float math; the only shuffle is
+    the per-query top-k over docs that matched at least one term.
+    Scores are rounded to 6 dp on both engines and tie-broken by doc_id,
+    so ranking is deterministic cross-engine.
+    """
+    terms = sorted({t for q in BM25_QUERIES.values() for t in q.split()})
+    m = len(terms)
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_table(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        toks = pc.split_pattern_regex(text, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        off = np.asarray(toks.offsets)
+        nonempty = pc.greater(pc.utf8_length(text), 0).to_numpy(
+            zero_copy_only=False)
+        dl = np.where(nonempty, np.diff(off), 0).astype(np.int64)
+        cols = {"doc_id": batch.column("doc_id").cast(pa.int64()),
+                "dl": pa.array(dl, pa.int64())}
+        for i, t in enumerate(terms):
+            eq = (flat == t).astype(np.int64)
+            tf = np.add.reduceat(eq, off[:-1]) if len(flat) else \
+                np.zeros(len(dl), np.int64)
+            tf = np.where(np.diff(off) > 0, tf, 0)
+            cols[f"tf{i}"] = pa.array(tf.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    tfs = docs.map_batches(tf_table, batch_format="pyarrow").materialize()
+    ref = _bm25_stats.remote(m, *tfs.to_arrow_refs())
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_docs, avgdl, df = ray.get(ref)
+        idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        dl = batch.column("dl").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        tf = {t: batch.column(f"tf{i}").to_numpy(zero_copy_only=False)
+              .astype(np.float64) for i, t in enumerate(terms)}
+        ti = {t: i for i, t in enumerate(terms)}
+        out_q, out_d, out_s = [], [], []
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        for qid in sorted(BM25_QUERIES):
+            s = np.zeros(len(ids), np.float64)
+            # fixed term order (the query's token order) so the IEEE sum
+            # is reproducible; SQL sums the same rounded-at-the-end way
+            for t in BM25_QUERIES[qid].split():
+                f = tf[t]
+                s += idf[ti[t]] * (f * (k1 + 1.0)) / (f + norm)
+            hit = s > 0
+            out_q.append(np.full(int(hit.sum()), qid, dtype=object))
+            out_d.append(ids[hit].astype(np.int64))
+            out_s.append(np.round(s[hit], 6))
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.string()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    scored = tfs.map_batches(score, batch_format="pyarrow")
+    out = grouped_top_k(scored, group_keys=["query_id"],
+                        by=["score", "doc_id"], ascending=[False, True],
+                        k=k, rank_col="rnk")
+
+    def shape(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.copy()
+        df_["rnk"] = df_["rnk"].astype(np.int64)
+        return df_[["query_id", "doc_id", "score", "rnk"]]
+
+    return out.map_batches(shape, batch_format="pandas")

@@ -840,3 +840,89 @@ def approx_distinct(sf_dir: str, k: int = 256) -> Dataset:
     cands = docs.map_batches(partial, batch_format="pyarrow")
     out = ray.get(_kmv_merge.remote(k, *cands.to_arrow_refs()))
     return ray.data.from_arrow(out)
+
+
+@ray.remote
+def _hh_candidates(*blocks) -> tuple[tuple, int]:
+    """Union per-block frequent-token candidates + total token count from
+    the pass-1 block refs — worker-task assembly, driver holds the ref."""
+    cands: set = set()
+    total = 0
+    for b in blocks:
+        t = (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+        if t.num_rows == 0:
+            continue
+        toks = t.column("tok").to_pylist()
+        kinds = t.column("kind").to_pylist()
+        cnts = t.column("cnt").to_pylist()
+        for tok, kind, c in zip(toks, kinds, cnts):
+            if kind == 0:
+                cands.add(tok)
+            else:
+                total += int(c)
+    return tuple(sorted(cands)), total
+
+
+def heavy_hitters(sf_dir: str, k: int = 64) -> Dataset:
+    """EXACT frequent tokens (count*k > corpus total) with bounded
+    memory — the two-pass frequent-elements design (Misra-Gries class):
+
+    Pass 1 (map-only combiner): each block emits only the tokens whose
+    LOCAL count clears the local threshold ``cnt * k > block_tokens``
+    (< k rows per block by pigeonhole) plus one block-total row. Any
+    token with global frequency > N/k must clear the local bar in at
+    least one block (if it missed everywhere, summing gives <= N/k), so
+    the union of block candidates is a guaranteed superset — no
+    sketch-miss risk, and per-block state is O(k), independent of the
+    vocabulary (unlike a full value-count shuffle).
+
+    Pass 2 (map-only + tiny grouped_agg): exact counts restricted to
+    the broadcast candidate set, filtered by the exact integer global
+    threshold. Output is therefore EXACT and SQL-oracle-checkable —
+    the bounded-memory pass changes cost, never the answer.
+    """
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    def _flat_tokens(batch: pa.Table):
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.greater(pc.utf8_length(text), 0)
+        toks = pc.split_pattern_regex(text.filter(keep), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return toks
+
+    def local(batch: pa.Table) -> pa.Table:
+        toks = _flat_tokens(batch)
+        vc = pd.Series(toks.flatten().to_pylist()).value_counts()
+        n_b = int(vc.sum())
+        freq = vc[vc.to_numpy() * k > n_b]
+        return pa.table({
+            "tok": pa.array(list(freq.index) + [""], pa.string()),
+            "kind": pa.array([0] * len(freq) + [1], pa.int8()),
+            "cnt": pa.array(list(freq.to_numpy(np.int64)) + [n_b],
+                            pa.int64()),
+        })
+
+    pass1 = docs.map_batches(local, batch_format="pyarrow")
+    ref = _hh_candidates.remote(*pass1.to_arrow_refs())
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        cands, _total = ray.get(ref)
+        toks = _flat_tokens(batch)
+        flat = pd.Series(toks.flatten().to_pylist())
+        vc = flat[flat.isin(cands)].value_counts()
+        return pa.table({"token": pa.array(vc.index, pa.string()),
+                         "cnt": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    counts = grouped_agg(docs.map_batches(exact_counts,
+                                          batch_format="pyarrow"),
+                         ["token"], {"cnt": ("cnt", "sum")})
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        _cands, total = ray.get(ref)
+        keep = pc.greater(pc.multiply(batch.column("cnt"), k),
+                          pa.scalar(total, pa.int64()))
+        return batch.filter(keep)
+
+    return counts.map_batches(threshold, batch_format="pyarrow")

@@ -1,0 +1,116 @@
+"""ROWS-mode moving window, exact two-pass heavy hitters, and in-engine
+BM25 top-k, pinned against brute-force references (DuckDB value oracles
+in __ray_entry__ are the independent cross-engine check)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class TestMovingAvgUser:
+    def test_matches_pandas_rolling(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            moving_avg_user,
+        )
+        rng = np.random.default_rng(41)
+        m = 300
+        events = pd.DataFrame({
+            "event_id": np.arange(1, m + 1, dtype=np.int64),
+            "ts": pd.Timestamp("2022-01-01")
+            + pd.to_timedelta(rng.integers(0, 200, m) * 60, unit="s"),
+            "user_id": rng.integers(1, 20, m).astype(np.int64),
+            "event_type": "view",
+            "value": rng.uniform(0, 100, m),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        events.to_parquet(d / "events.parquet")
+        got = moving_avg_user(str(d), win=3).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        e = events.copy()
+        e["ts_s"] = e["ts"].astype("int64") // 10**9
+        e["cents"] = np.trunc(e["value"].to_numpy() * 100).astype(np.int64)
+        e = e.sort_values(["user_id", "ts_s", "event_id"], kind="mergesort")
+        e["ma_sum_c"] = e.groupby("user_id")["cents"] \
+            .transform(lambda s: s.rolling(3, min_periods=1).sum())
+        e["ma_count"] = e.groupby("user_id")["cents"] \
+            .transform(lambda s: s.rolling(3, min_periods=1).count())
+        ref = e.sort_values("event_id").reset_index(drop=True)
+        assert (got["ma_sum_c"].to_numpy()
+                == ref["ma_sum_c"].to_numpy().astype(np.int64)).all()
+        assert (got["ma_count"].to_numpy()
+                == ref["ma_count"].to_numpy().astype(np.int64)).all()
+        assert (got["ma_avg_c"].to_numpy()
+                == got["ma_sum_c"].to_numpy() / got["ma_count"].to_numpy()
+                ).all()
+
+
+class TestHeavyHitters:
+    def test_exact_over_many_blocks(self, tmp_path):
+        """Skewed vocabulary spread over MANY blocks so the pass-1 local
+        threshold actually prunes: the union-of-local-candidates superset
+        guarantee is what makes the final answer exact."""
+        from chameleon_entity_linking_ray.pipelines.traindata import (
+            heavy_hitters,
+        )
+        rng = np.random.default_rng(43)
+        # hot tokens (~1/6 each), a mid token, and a long rare tail
+        vocab = ["hot_a"] * 30 + ["hot_b"] * 25 + ["mid"] * 6 + \
+            [f"rare{i}" for i in range(120)]
+        texts = [" ".join(rng.choice(vocab, 20)) for _ in range(400)]
+        docs = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64),
+                             "text": texts, "lang": "en", "source": "s",
+                             "n_chars": [len(t) for t in texts]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        docs.to_parquet(d / "documents.parquet")
+        k = 16
+        got = heavy_hitters(str(d), k=k).to_pandas()
+        all_toks = pd.Series(" ".join(texts).split())
+        vc = all_toks.value_counts()
+        n = len(all_toks)
+        ref = vc[vc * k > n]
+        assert dict(zip(got["token"], got["cnt"])) == ref.to_dict()
+        assert len(ref) > 0  # the test actually asserts something
+        assert len(ref) < len(vc)  # and the tail was actually pruned
+
+
+class TestBm25:
+    def test_matches_bruteforce(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.corpus import (
+            BM25_QUERIES,
+            bm25_topk,
+        )
+        rng = np.random.default_rng(47)
+        vocab = ["hash", "join", "table", "window", "agg", "stream",
+                 "fast", "scan", "filter", "noise", "other", "words"]
+        texts = [" ".join(rng.choice(vocab, rng.integers(5, 30)))
+                 for _ in range(150)]
+        docs = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64),
+                             "text": texts, "lang": "en", "source": "s",
+                             "n_chars": [len(t) for t in texts]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        docs.to_parquet(d / "documents.parquet")
+        got = bm25_topk(str(d), k=10).to_pandas()
+
+        toks = [t.split() for t in texts]
+        dl = np.array([len(t) for t in toks], np.float64)
+        n_docs = len(texts)
+        avgdl = dl.sum() / n_docs
+        k1, b = 1.2, 0.75
+        for qid, q in BM25_QUERIES.items():
+            s = np.zeros(n_docs)
+            for term in q.split():
+                tf = np.array([t.count(term) for t in toks], np.float64)
+                df = int((tf > 0).sum())
+                idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dl / avgdl))
+            s = np.round(s, 6)
+            order = sorted(np.flatnonzero(s > 0),
+                           key=lambda i: (-s[i], i))[:10]
+            sub = got[got["query_id"] == qid].sort_values("rnk")
+            assert sub["doc_id"].tolist() == [int(i) for i in order]
+            assert (sub["score"].to_numpy()
+                    == s[np.array(order)]).all()
+            assert sub["rnk"].tolist() == list(range(1, len(order) + 1))
