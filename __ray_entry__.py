@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": A.sessionize_events,
         "rolling_user_window": A.rolling_user_window,
         "moving_avg_user": A.moving_avg_user,
+        "nation_balance_full": A.nation_balance_full,
         "event_pairs_within": A.event_pairs_within,
         "rollup_revenue": A.rollup_revenue,
         "cume_dist_orders": A.cume_dist_orders,
@@ -234,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_copurchase": _q_ppr,
         # --- multimodal plumbing (decode stubs, deterministic fakes) ---
         "media_decode": _q_media,
+        "media_resize": _q_media_resize,
         # --- extraction parity + flagship ---
         "part_mentions": C.part_mentions,
         "mention_vocab": C.mention_vocab,
@@ -246,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": T.top_ngrams,
         "doc_tokens_bpe": T.doc_tokens_bpe,
         "exact_percentiles": T.exact_percentiles,
+        "percentiles_cont": T.percentiles_cont,
         "doc_chunks": T.doc_chunks,
         "doc_keywords": T.doc_keywords,
         "decontaminate": T.decontaminate,
@@ -300,6 +303,20 @@ def _q_media(sf_dir):
         .filter(expr="p_partkey < 256")
     media = parts.map_batches(media_from_keys, batch_format="pyarrow")
     return decode_media(media, feature_dim=16).drop_columns(["feature"])
+
+
+def _q_media_resize(sf_dir):
+    # block-mean grid resize over the same formulaic BMPs as media_decode:
+    # output cell (py,px) = AVG of pixels whose floor-grid map lands there
+    # — SQL-derivable from generate_series, codec never seen by the oracle
+    import ray.data
+    from chameleon_entity_linking_ray.stages.multimodal import (
+        media_from_keys, resize_media)
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                  columns=["p_partkey"]) \
+        .filter(expr="p_partkey < 256")
+    media = parts.map_batches(media_from_keys, batch_format="pyarrow")
+    return resize_media(media, out_w=4, out_h=4)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -458,6 +475,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(DENSE_RANK() OVER (ORDER BY total_c) AS BIGINT)
                        AS drnk
             FROM o""",
+        # FULL OUTER join of two combiner aggregates; missing sides NULL
+        "nation_balance_full": """
+            WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                              CAST(SUM(CAST(trunc(c_acctbal*100) AS BIGINT))
+                                   AS BIGINT) AS cust_bal_c
+                       FROM customer WHERE c_acctbal > 3000.0
+                       GROUP BY c_nationkey),
+                 s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                              CAST(SUM(CAST(trunc(s_acctbal*100) AS BIGINT))
+                                   AS BIGINT) AS supp_bal_c
+                       FROM supplier GROUP BY s_nationkey)
+            SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+                   cust_bal_c, supp_bal_c
+            FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""",
+        # interpolated percentiles, type-7 (quantile_cont semantics) with
+        # the interpolation expression spelled out so doubles agree
+        "percentiles_cont": """
+            WITH v AS (SELECT CAST(trunc(l_extendedprice*100) AS BIGINT)
+                           AS val FROM lineitem),
+            s AS (SELECT val, ROW_NUMBER() OVER (ORDER BY val) AS rn
+                  FROM v),
+            n AS (SELECT COUNT(*) AS n FROM v),
+            qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9)),
+            pick AS (SELECT q,
+                            CAST(floor((n.n - 1) * q) + 1 AS BIGINT)
+                                AS r_lo,
+                            LEAST(CAST(floor((n.n - 1) * q) + 2 AS BIGINT),
+                                  n.n) AS r_hi,
+                            (n.n - 1) * q - floor((n.n - 1) * q) AS frac
+                     FROM qs CROSS JOIN n)
+            SELECT p.q,
+                   CAST(lo.val AS DOUBLE)
+                   + p.frac * (CAST(hi.val AS DOUBLE)
+                               - CAST(lo.val AS DOUBLE)) AS val_c
+            FROM pick p JOIN s lo ON lo.rn = p.r_lo
+                        JOIN s hi ON hi.rn = p.r_hi""",
+        # block-mean 4x4 grid resize over formulaic pixels: the oracle
+        # recomputes the floor-grid AVG from generate_series, never the
+        # codec — value-verifies the decode+resize path cell by cell
+        "media_resize": """
+            WITH m AS (SELECT p_partkey AS media_id,
+                              8 + p_partkey % 25 AS w,
+                              8 + (p_partkey // 25) % 25 AS h
+                       FROM part WHERE p_partkey < 256),
+            cells AS (SELECT media_id,
+                             ((i // w) * 4) // h AS py,
+                             ((i % w) * 4) // w AS px,
+                             (media_id + i) % 256 AS v
+                      FROM m CROSS JOIN generate_series(0, 1023) t(i)
+                      WHERE i < w * h)
+            SELECT media_id, CAST(py AS BIGINT) AS py,
+                   CAST(px AS BIGINT) AS px, AVG(v) AS v
+            FROM cells GROUP BY media_id, py, px""",
         # ROWS-mode trailing window: unique (ts_s, event_id) order key;
         # sums exact int cents, avg = IEEE division of the exact ints
         "moving_avg_user": """

@@ -585,6 +585,35 @@ def event_pairs_within(sf_dir: str, window_s: int = 21600,
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
 
 
+def nation_balance_full(sf_dir: str) -> Dataset:
+    """FULL OUTER join surface: per-nation customer balance vs supplier
+    balance, nations missing on either side kept with a NULL total —
+    the bucketed large-large ``hash_join(join_type="full_outer")`` path
+    (broadcast joins are inner/left-only by soundness, stages/joins.py).
+    Both inputs are combiner aggregates first, so the outer join moves
+    O(nations) rows, never the fact tables."""
+    from chameleon_entity_linking_ray.stages.joins import hash_join
+
+    cust = read_table(sf_dir, "customer", ["c_nationkey", "c_acctbal"]) \
+        .filter(expr="c_acctbal > 3000.0")
+    supp = read_table(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def prep(key: str, bal: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "nationkey": batch.column(key).cast(pa.int64()),
+                "bal_c": _cents(batch.column(bal))})
+        return f
+
+    ca = grouped_agg(cust.map_batches(prep("c_nationkey", "c_acctbal"),
+                                      batch_format="pyarrow"),
+                     keys=["nationkey"], aggs={"cust_bal_c": ("bal_c", "sum")})
+    sa = grouped_agg(supp.map_batches(prep("s_nationkey", "s_acctbal"),
+                                      batch_format="pyarrow"),
+                     keys=["nationkey"], aggs={"supp_bal_c": ("bal_c", "sum")})
+    return hash_join(ca, sa, on=("nationkey",), join_type="full_outer")
+
+
 def moving_avg_user(sf_dir: str, win: int = 3,
                     num_buckets: int = 32) -> Dataset:
     """ROWS-mode moving window per user: sum/count of the trailing

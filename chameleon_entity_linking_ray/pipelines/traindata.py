@@ -926,3 +926,93 @@ def heavy_hitters(sf_dir: str, k: int = 64) -> Dataset:
         return batch.filter(keep)
 
     return counts.map_batches(threshold, batch_format="pyarrow")
+
+
+def percentiles_cont(sf_dir: str, qs: tuple[float, ...] =
+                     (0.25, 0.5, 0.75, 0.9),
+                     n_buckets: int = 256) -> Dataset:
+    """EXACT interpolated percentiles (SQL ``quantile_cont`` semantics,
+    type-7: v_lo + frac*(v_hi - v_lo) at h = (N-1)*q) of l_extendedprice
+    cents — same two-phase histogram dataflow as ``exact_percentiles``
+    (footer stats -> tiny bucket table -> one filtered re-scan of the
+    rank-holding buckets), except each quantile resolves BOTH bounding
+    order statistics. The interpolation expression is written
+    identically in the oracle SQL, so the doubles agree bit-for-bit."""
+    path = f"{sf_dir}/lineitem.parquet"
+    col = "l_extendedprice"
+    li = ray.data.read_parquet(path, columns=[col])
+
+    def cents_of(batch: pa.Table) -> np.ndarray:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        return np.trunc(v * 100).astype(np.int64)
+
+    st = _parquet_column_stats(path, col)
+    if st is not None:
+        lo, hi, n = (int(np.trunc(st[0] * 100)),
+                     int(np.trunc(st[1] * 100)), int(st[2]))
+    else:
+        from ray.data.aggregate import Count, Max, Min
+
+        def cents_tbl(batch: pa.Table) -> pa.Table:
+            return pa.table({"v": pa.array(cents_of(batch), pa.int64())})
+
+        s = li.map_batches(cents_tbl, batch_format="pyarrow") \
+            .aggregate(Min("v"), Max("v"), Count())
+        lo, hi, n = int(s["min(v)"]), int(s["max(v)"]), int(s["count()"])
+    width = max(1, (hi - lo) // n_buckets + 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ub, cnt = np.unique((cents_of(batch) - lo) // width,
+                            return_counts=True)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    h = grouped_agg(li.map_batches(hist, batch_format="pyarrow"),
+                    ["bucket"], {"cnt": ("cnt", "sum")}).to_pandas()
+    h = h.sort_values("bucket").reset_index(drop=True)
+    buckets = h["bucket"].to_numpy(np.int64)
+    cum = np.cumsum(h["cnt"].to_numpy(np.int64))
+    below_of_bucket = np.concatenate([[0], cum[:-1]])
+
+    # each q needs ranks r_lo = floor(h)+1 and r_hi = min(r_lo+1, N)
+    want: dict[float, tuple[int, int, float]] = {}
+    need_ranks: set[int] = set()
+    for q in qs:
+        hq = (n - 1) * q
+        r_lo = int(np.floor(hq)) + 1
+        r_hi = min(r_lo + 1, n)
+        want[q] = (r_lo, r_hi, hq - np.floor(hq))
+        need_ranks.update((r_lo, r_hi))
+
+    union_rows = sorted({int(np.searchsorted(cum, r)) for r in need_ranks})
+    union_below = {bi: sum(int(h["cnt"].iloc[b]) for b in union_rows
+                           if b < bi) for bi in union_rows}
+
+    def local_rank(r: int) -> int:
+        bi = int(np.searchsorted(cum, r))
+        return r - int(below_of_bucket[bi]) + union_below[bi]
+
+    m = max(local_rank(r) for r in need_ranks)
+    ranges = [(lo + int(buckets[bi]) * width,
+               lo + (int(buckets[bi]) + 1) * width) for bi in union_rows]
+
+    def in_union(batch: pa.Table) -> pa.Table:
+        v = cents_of(batch)
+        mask = np.zeros(len(v), dtype=bool)
+        for bs, be in ranges:
+            mask |= (v >= bs) & (v < be)
+        return pa.table({"v": pa.array(v[mask], pa.int64())})
+
+    sub = li.map_batches(in_union, batch_format="pyarrow") \
+        .sort("v").limit(m).to_pandas()["v"].to_numpy(np.int64)
+
+    out_q, out_v = [], []
+    for q in qs:
+        r_lo, r_hi, frac = want[q]
+        v_lo = float(sub[local_rank(r_lo) - 1])
+        v_hi = float(sub[local_rank(r_hi) - 1])
+        out_q.append(q)
+        out_v.append(v_lo + frac * (v_hi - v_lo))
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "val_c": pa.array(out_v, pa.float64())}))

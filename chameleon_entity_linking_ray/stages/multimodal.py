@@ -329,3 +329,73 @@ def sample_frames(ds: Dataset, n_frames: int = 4,
                           fn_constructor_kwargs={"n_frames": n_frames},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+class MediaResizer:
+    """Actor-pool stage: decode + grid-resize to ``out_h x out_w`` by
+    block-mean pooling — the engine form of the reference-adjacent
+    image-preprocess step (resize before embedding). The grid map is the
+    integer floor map ``cell = (row * out_h) // h`` (deterministic, no
+    float resampling), so each output cell is the exact AVG of its input
+    pixels — SQL-derivable for formulaic media. Emits LONG format
+    (media_id, py, px, v) so values are scalar-comparable cross-engine;
+    v is the IEEE division of an exact int sum by an exact count."""
+
+    def __init__(self, out_w: int = 4, out_h: int = 4):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        ow, oh = self.out_w, self.out_h
+        out_id, out_py, out_px, out_v, status, st_id = [], [], [], [], [], []
+        for mid, p in zip(ids, payloads):
+            try:
+                px = decode_bmp(p) if p[:2] == b"BM" else \
+                    decode_bmp(decode_gvid_frame(p, 0))
+                h, w = px.shape
+                ry = (np.arange(h, dtype=np.int64) * oh) // h
+                rx = (np.arange(w, dtype=np.int64) * ow) // w
+                cell = (ry[:, None] * ow + rx[None, :]).reshape(-1)
+                sums = np.bincount(cell, weights=px.reshape(-1)
+                                   .astype(np.float64), minlength=ow * oh)
+                cnts = np.bincount(cell, minlength=ow * oh)
+                out_id.append(np.full(ow * oh, int(mid), np.int64))
+                out_py.append(np.arange(ow * oh, dtype=np.int64) // ow)
+                out_px.append(np.arange(ow * oh, dtype=np.int64) % ow)
+                out_v.append(sums / np.maximum(cnts, 1))
+            except (ValueError, IndexError, struct.error) as exc:
+                st_id.append(int(mid))
+                status.append(f"decode_error: {type(exc).__name__}")
+        n_ok = len(out_id)
+        tbl = pa.table({
+            "media_id": pa.array(np.concatenate(out_id) if n_ok else
+                                 np.empty(0, np.int64), pa.int64()),
+            "py": pa.array(np.concatenate(out_py) if n_ok else
+                           np.empty(0, np.int64), pa.int64()),
+            "px": pa.array(np.concatenate(out_px) if n_ok else
+                           np.empty(0, np.int64), pa.int64()),
+            "v": pa.array(np.concatenate(out_v) if n_ok else
+                          np.empty(0, np.float64), pa.float64()),
+        })
+        if status:  # dead-letter rows keep the failure visible downstream
+            dead = pa.table({
+                "media_id": pa.array(st_id, pa.int64()),
+                "py": pa.array([-1] * len(st_id), pa.int64()),
+                "px": pa.array([-1] * len(st_id), pa.int64()),
+                "v": pa.array([float("nan")] * len(st_id), pa.float64()),
+            })
+            tbl = pa.concat_tables([tbl, dead])
+        return tbl
+
+
+def resize_media(ds: Dataset, out_w: int = 4, out_h: int = 4,
+                 batch_size: int = 32, concurrency: int = 4) -> Dataset:
+    """payload -> long-format block-mean grid via actor pool (small
+    batches: payload bytes x concurrency bounds worker heap)."""
+    return ds.map_batches(MediaResizer,
+                          fn_constructor_kwargs={"out_w": out_w,
+                                                 "out_h": out_h},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
