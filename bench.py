@@ -39,6 +39,8 @@ QUERY_NAMES = [
     "sessionize_events", "pack_sequences", "top_ngrams", "exact_percentiles",
     "rolling_user_window", "event_pairs_within", "simhash_dup_pairs",
     "rank_orders", "decontaminate",
+    "row_number_orders", "moving_avg_user", "heavy_hitters", "bm25_topk",
+    "user_event_paths",
 ]
 
 
