@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_customer": A.topk_per_customer,
         "distinct_counts": A.distinct_counts,
         "asof_events_orders": A.asof_join_events_orders,
+        "asof_next_event": A.asof_next_event_after_order,
+        "flag_corr": A.flag_corr,
+        "profile_orders": A.profile_orders,
         "sessionize_events": A.sessionize_events,
         "rolling_user_window": A.rolling_user_window,
         "moving_avg_user": A.moving_avg_user,
@@ -377,6 +380,65 @@ def oracle_sql() -> dict[str, str]:
                    od.matched_order, od.order_ts_s
             FROM ev ASOF JOIN od
               ON ev.user_id = od.user_id AND ev.ts_s >= od.order_ts_s""",
+        # FORWARD as-of: each order matched to the customer's EARLIEST
+        # event at-or-after it; ties deduped to min event_id per second
+        "asof_next_event": """
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) // 1000000 AS event_ts_s,
+                       MIN(event_id) AS next_event
+                FROM events GROUP BY 1, 2
+            ), od AS (
+                SELECT o_orderkey, o_custkey AS user_id,
+                       epoch_us(o_orderdate) // 1000000 AS order_ts_s
+                FROM orders
+            )
+            SELECT od.o_orderkey, od.user_id, od.order_ts_s,
+                   ev.next_event, ev.event_ts_s
+            FROM od ASOF JOIN ev
+              ON od.user_id = ev.user_id
+             AND od.order_ts_s <= ev.event_ts_s""",
+        # grouped Pearson correlation from exact integer moments; the
+        # final float expression is identical on both engines
+        "flag_corr": """
+            WITH m AS (SELECT l_returnflag,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              SUM(x) AS sx, SUM(y) AS sy,
+                              SUM(x*x) AS sxx, SUM(y*y) AS syy,
+                              SUM(x*y) AS sxy
+                       FROM (SELECT l_returnflag,
+                                    CAST(trunc(l_quantity) AS BIGINT) AS x,
+                                    CAST(trunc(l_extendedprice) AS BIGINT)
+                                        AS y
+                             FROM lineitem)
+                       GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sy AS DOUBLE))
+                   / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                           * CAST(sx AS DOUBLE))
+                      * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                             * CAST(sy AS DOUBLE))) AS corr_qty_price
+            FROM m""",
+        # dataset profiler (SUMMARIZE): long-format per-column stats
+        "profile_orders": """
+            SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+                   CAST(MIN(o_orderkey) AS BIGINT) AS min_v,
+                   CAST(MAX(o_orderkey) AS BIGINT) AS max_v,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+                   MIN(o_custkey), MAX(o_custkey),
+                   COUNT(DISTINCT o_custkey)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice_c', COUNT(*),
+                   COUNT(*) - COUNT(o_totalprice),
+                   MIN(CAST(trunc(o_totalprice*100) AS BIGINT)),
+                   MAX(CAST(trunc(o_totalprice*100) AS BIGINT)),
+                   COUNT(DISTINCT CAST(trunc(o_totalprice*100) AS BIGINT))
+            FROM orders""",
         # gap-based session windows (gap 1800 s): LAG + running SUM per
         # user; ties share a gap of 0 so tie order never changes sessions
         "sessionize_events": """

@@ -365,6 +365,97 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
     return tagged.groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
+def asof_next_event_after_order(sf_dir: str,
+                                num_buckets: int = 32) -> Dataset:
+    """FORWARD as-of join: each order matched to its customer's EARLIEST
+    event at-or-after the order date — the "next interaction after
+    purchase" lookup, the mirrored comparator of
+    ``asof_join_events_orders`` (DuckDB ``ASOF JOIN ... ON l.ts <=
+    r.ts``). Same shape: both sides bucketed by hash(user), one
+    schema-pinned tagged-union sort-shuffle, per-bucket vectorized
+    ``pd.merge_asof(direction="forward")``. Events are pre-deduped to
+    the MIN event_id per (user, second) so ties are deterministic on
+    both engines."""
+    from chameleon_entity_linking_ray.functions.hashing import mix64
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "user_id"])
+    ev = grouped_agg(ev.map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "event_ts_s": _epoch_seconds(b.column("ts")),
+            "event_id": b.column("event_id").cast(pa.int64())}),
+        batch_format="pyarrow"),
+        keys=["user_id", "event_ts_s"],
+        aggs={"next_event": ("event_id", "min")},
+        num_buckets=num_buckets)
+
+    _SCHEMA = pa.schema([
+        ("_side", pa.int8()), ("user_id", pa.int64()),
+        ("ts_s", pa.int64()), ("o_orderkey", pa.int64()),
+        ("next_event", pa.int64()), ("bucket", pa.int32()),
+    ])
+
+    def _bucket(uid: pa.Array) -> pa.Array:
+        u = uid.to_numpy(zero_copy_only=False)
+        return pa.array((mix64(u.astype(np.uint64), seed=67)
+                         % np.uint64(num_buckets)).astype(np.int32),
+                        pa.int32())
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        uid = b.column("o_custkey").cast(pa.int64()).combine_chunks()
+        return pa.table({
+            "_side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "user_id": uid,
+            "ts_s": _epoch_seconds(b.column("o_orderdate")),
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "next_event": pa.nulls(n, pa.int64()),
+            "bucket": _bucket(uid),
+        }, schema=_SCHEMA)
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        uid = b.column("user_id").cast(pa.int64()).combine_chunks()
+        return pa.table({
+            "_side": pa.array(np.ones(n, np.int8), pa.int8()),
+            "user_id": uid,
+            "ts_s": b.column("event_ts_s").cast(pa.int64()),
+            "o_orderkey": pa.nulls(n, pa.int64()),
+            "next_event": b.column("next_event").cast(pa.int64()),
+            "bucket": _bucket(uid),
+        }, schema=_SCHEMA)
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        ev.map_batches(tag_events, batch_format="pyarrow"))
+
+    out_cols = ["o_orderkey", "user_id", "order_ts_s", "next_event",
+                "event_ts_s"]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0]
+        right = g[g["_side"] == 1]
+        if left.empty or right.empty:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in out_cols})
+        m = pd.merge_asof(
+            left.sort_values("ts_s", kind="mergesort")
+                .drop(columns=["next_event"])
+                .rename(columns={"ts_s": "order_ts_s"}),
+            right.sort_values("ts_s", kind="mergesort")[
+                ["user_id", "ts_s", "next_event"]]
+                .rename(columns={"ts_s": "event_ts_s"}),
+            left_on="order_ts_s", right_on="event_ts_s", by="user_id",
+            direction="forward", allow_exact_matches=True)
+        m = m[m["next_event"].notna()].copy()
+        for c in out_cols:
+            m[c] = m[c].astype(np.int64)
+        return m[out_cols]
+
+    return tagged.groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
 def sessionize_events(sf_dir: str, gap_s: int = 1800,
                       num_buckets: int = 32) -> Dataset:
     """Gap-based session windows per user — the streaming "session window"
@@ -583,6 +674,107 @@ def event_pairs_within(sf_dir: str, window_s: int = 21600,
 
     return ev.map_batches(prep, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def flag_corr(sf_dir: str) -> Dataset:
+    """Grouped Pearson CORRELATION (quantity vs price per return flag)
+    in combiner form: the shuffle carries exact integer moments
+    (n, Σx, Σy, Σx², Σy², Σxy) — one partial row per (group, block) —
+    and the float expression runs ONCE per group at the end, written
+    identically in the oracle SQL so the IEEE doubles agree bit-for-bit.
+    x = whole units, y = whole dollars (trunc), keeping Σy² inside int64
+    through TPC-H SF10; beyond that switch to the pairwise/Chan
+    combiner."""
+    li = read_table(sf_dir, "lineitem",
+                    ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.trunc(batch.column("l_quantity")), pa.int64())
+        y = pc.cast(pc.trunc(batch.column("l_extendedprice")), pa.int64())
+        return pa.table({"l_returnflag": batch.column("l_returnflag"),
+                         "x": x, "y": y,
+                         "xx": pc.multiply(x, x),
+                         "yy": pc.multiply(y, y),
+                         "xy": pc.multiply(x, y)})
+
+    m = grouped_agg(li.map_batches(prep, batch_format="pyarrow"),
+                    keys=["l_returnflag"],
+                    aggs={"n": (None, "count"), "sx": ("x", "sum"),
+                          "sy": ("y", "sum"), "sxx": ("xx", "sum"),
+                          "syy": ("yy", "sum"), "sxy": ("xy", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy().astype(np.float64)
+        sx = df["sx"].to_numpy().astype(np.float64)
+        sy = df["sy"].to_numpy().astype(np.float64)
+        sxx = df["sxx"].to_numpy().astype(np.float64)
+        syy = df["syy"].to_numpy().astype(np.float64)
+        sxy = df["sxy"].to_numpy().astype(np.float64)
+        corr = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                                      * np.sqrt(n * syy - sy * sy))
+        out = df[["l_returnflag", "n"]].copy()
+        out["corr_qty_price"] = corr
+        return out
+
+    return m.map_batches(finish, batch_format="pandas")
+
+
+def profile_orders(sf_dir: str) -> Dataset:
+    """Dataset PROFILER (the engine's ``SUMMARIZE``): per-column row
+    count, null count, distinct count, min and max for the orders
+    table's numeric columns, in one long-format table. Two passes, both
+    combiner-form: (1) per-block per-column (n, n_null, min, max)
+    partials — shuffle O(columns × blocks); (2) per-block distinct
+    (col, val) pairs then a bucketed count — shuffle O(distinct). Money
+    is profiled as exact integer cents (the module convention)."""
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def col_vals(batch: pa.Table) -> dict[str, pa.Array]:
+        return {"o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "o_totalprice_c": _cents(batch.column("o_totalprice"))}
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for name, arr in col_vals(batch).items():
+            rows.append({
+                "col": name,
+                "n": batch.num_rows,
+                "n_null": arr.null_count,
+                "min_v": pc.min(arr).as_py(),
+                "max_v": pc.max(arr).as_py(),
+            })
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("col", pa.string()), ("n", pa.int64()),
+             ("n_null", pa.int64()), ("min_v", pa.int64()),
+             ("max_v", pa.int64())]))
+
+    stats = grouped_agg(orders.map_batches(stats_partial,
+                                           batch_format="pyarrow"),
+                        keys=["col"],
+                        aggs={"n": ("n", "sum"), "n_null": ("n_null", "sum"),
+                              "min_v": ("min_v", "min"),
+                              "max_v": ("max_v", "max")})
+
+    def distinct_rows(batch: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for name, arr in col_vals(batch).items():
+            u = pc.unique(arr.combine_chunks()
+                          if isinstance(arr, pa.ChunkedArray) else arr)
+            u = u.drop_null()
+            names.extend([name] * len(u))
+            vals.append(u)
+        return pa.table({"col": pa.array(names, pa.string()),
+                         "val": pa.concat_arrays(
+                             [v.cast(pa.int64()) for v in vals])
+                         if vals else pa.array([], pa.int64())})
+
+    nd = grouped_agg(distinct(orders.map_batches(distinct_rows,
+                                                 batch_format="pyarrow"),
+                              ["col", "val"]),
+                     keys=["col"], aggs={"n_distinct": (None, "count")})
+    return broadcast_hash_join(stats, nd, on=("col",), join_type="inner")
 
 
 def nation_balance_full(sf_dir: str) -> Dataset:
