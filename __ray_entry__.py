@@ -261,6 +261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_sample": T.budget_sample,
         "approx_distinct": T.approx_distinct,
         "heavy_hitters": T.heavy_hitters,
+        "hdr_percentiles": T.hdr_percentiles,
+        "doc_token_rows": C.doc_token_rows,
         # --- in-engine BM25 (replaces the reference's pre-built
         #     Anserini run file, CrossEncoder/test.py:61-75) ---
         "bm25_topk": C.bm25_topk,
@@ -590,6 +592,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, CAST(py AS BIGINT) AS py,
                    CAST(px AS BIGINT) AS px, AVG(v) AS v
             FROM cells GROUP BY media_id, py, px""",
+        # HdrHistogram-class log-linear quantile sketch: PURE INTEGER
+        # bucketing (bit length + linear subdivision), so the sketch
+        # estimate is bit-reproducible in SQL — a value-verified sketch
+        "hdr_percentiles": """
+            WITH v AS (SELECT CAST(trunc(l_extendedprice*100) AS BIGINT)
+                           AS val FROM lineitem WHERE
+                           trunc(l_extendedprice*100) > 0),
+            k AS (SELECT ((length(printf('%b', val)) - 1) * 32
+                          + ((val - (1::BIGINT
+                                     << (length(printf('%b', val)) - 1)))
+                             * 32)
+                            // (1::BIGINT
+                                << (length(printf('%b', val)) - 1)))
+                      AS key
+                  FROM v),
+            h AS (SELECT key, COUNT(*) AS cnt FROM k GROUP BY key),
+            c AS (SELECT key, SUM(cnt) OVER (ORDER BY key
+                      ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+            n AS (SELECT COUNT(*) AS n FROM v),
+            qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)),
+            r AS (SELECT q, CAST(floor(q * (n.n - 1)) + 1 AS BIGINT)
+                      AS rnk FROM qs CROSS JOIN n),
+            pick AS (SELECT q, MIN(key) AS key FROM r
+                     JOIN c ON c.cum >= r.rnk GROUP BY q)
+            SELECT q,
+                   CAST((1::BIGINT << (key // 32))
+                        + (key % 32) * (1::BIGINT << (key // 32)) // 32
+                        AS BIGINT) AS est_c
+            FROM pick""",
+        # EXPLODE / UNNEST with a 1-based position column
+        "doc_token_rows": r"""
+            WITH d AS (SELECT doc_id, string_split_regex(trim(text),
+                                                         '\s+') AS l
+                       FROM documents
+                       WHERE doc_id < 50 AND length(trim(text)) > 0)
+            SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i] AS token
+            FROM d, LATERAL (SELECT unnest(generate_series(1, len(l)))
+                             AS i)""",
         # ROWS-mode trailing window: unique (ts_s, event_id) order key;
         # sums exact int cents, avg = IEEE division of the exact ints
         "moving_avg_user": """

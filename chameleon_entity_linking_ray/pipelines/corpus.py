@@ -1337,3 +1337,39 @@ def bm25_topk(sf_dir: str, k: int = 10, k1: float = 1.2,
         return df_[["query_id", "doc_id", "score", "rnk"]]
 
     return out.map_batches(shape, batch_format="pandas")
+
+
+def doc_token_rows(sf_dir: str, max_doc: int = 50) -> Dataset:
+    """EXPLODE / UNNEST surface: one output row per (doc, position,
+    token) — the flat_map shape every tokenize-and-shuffle pipeline
+    starts from, with an explicit 1-based position column so order is
+    part of the contract. Pure Arrow offset arithmetic (the flattened
+    token array + repeat/arange over list offsets), zero Python per
+    row."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"]) \
+        .filter(expr=f"doc_id < {max_doc}")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.greater(pc.utf8_length(text), 0)
+        sub = batch.filter(keep)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(sub.column("text")), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = np.asarray(toks.offsets)
+        lens = np.diff(off)
+        ids = sub.column("doc_id").to_numpy(zero_copy_only=False)
+        total = int(lens.sum())
+        starts = np.cumsum(lens) - lens
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(starts, lens) + 1) if total else \
+            np.empty(0, np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens).astype(np.int64),
+                               pa.int64()),
+            "pos": pa.array(pos.astype(np.int64), pa.int64()),
+            "token": toks.flatten(),
+        })
+
+    return docs.map_batches(explode, batch_format="pyarrow")

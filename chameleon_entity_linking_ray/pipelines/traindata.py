@@ -1016,3 +1016,55 @@ def percentiles_cont(sf_dir: str, qs: tuple[float, ...] =
     return ray.data.from_arrow(pa.table({
         "q": pa.array(out_q, pa.float64()),
         "val_c": pa.array(out_v, pa.float64())}))
+
+
+def hdr_percentiles(sf_dir: str, qs: tuple[float, ...] =
+                    (0.25, 0.5, 0.75, 0.9, 0.99),
+                    sub_buckets: int = 32) -> Dataset:
+    """HdrHistogram/DDSketch-class QUANTILE SKETCH: log-linear integer
+    bucketing (one bucket per (bit-length, linear sub-bucket) pair, so
+    relative error <= 1/sub_buckets per octave), ONE data pass, O(64 ×
+    sub_buckets) mergeable state per block — the bounded-memory
+    streaming alternative to ``exact_percentiles``' two-pass refinement.
+
+    Unlike float-boundary sketches (DDSketch's ln-gamma buckets), the
+    bucket function here is PURE INTEGER arithmetic (bit length + linear
+    subdivision), so the sketch — and therefore the quantile estimate —
+    is bit-reproducible in SQL: a sketch with a value-level oracle.
+    Estimate contract: lower bound of the bucket holding 1-based rank
+    floor(q*(N-1))+1 (the exact_percentiles rank contract).
+    """
+    S = sub_buckets
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = np.trunc(batch.column("l_extendedprice")
+                     .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        v = v[v > 0]
+        bl = np.frexp(v.astype(np.float64))[1]  # exact bit length < 2^53
+        lo = np.int64(1) << (bl - 1)
+        key = (bl - 1) * S + ((v - lo) * S) // lo
+        ub, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(ub.astype(np.int64), pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    h = grouped_agg(li.map_batches(hist, batch_format="pyarrow"),
+                    ["key"], {"cnt": ("cnt", "sum")}).to_pandas() \
+        .sort_values("key").reset_index(drop=True)
+    keys = h["key"].to_numpy(np.int64)
+    cum = np.cumsum(h["cnt"].to_numpy(np.int64))
+    n = int(cum[-1]) if len(cum) else 0
+
+    out_q, out_v = [], []
+    for q in qs:
+        r = int(np.floor(q * (n - 1))) + 1
+        k = int(keys[int(np.searchsorted(cum, r))])
+        b = k // S + 1
+        sub = k % S
+        lo = 1 << (b - 1)
+        out_q.append(q)
+        out_v.append(lo + sub * lo // S)
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "est_c": pa.array(out_v, pa.int64())}))
