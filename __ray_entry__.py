@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": A.sessionize_events,
         "rolling_user_window": A.rolling_user_window,
         "moving_avg_user": A.moving_avg_user,
+        "user_running_total": A.user_running_total,
         "nation_balance_full": A.nation_balance_full,
         "event_pairs_within": A.event_pairs_within,
         "rollup_revenue": A.rollup_revenue,
@@ -539,6 +540,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(DENSE_RANK() OVER (ORDER BY total_c) AS BIGINT)
                        AS drnk
             FROM o""",
+        # per-user cumulative prefix sum; unique (ts_s, event_id) order
+        "user_running_total": """
+            WITH e AS (SELECT event_id, user_id,
+                              epoch_us(ts) // 1000000 AS ts_s,
+                              CAST(trunc(value*100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id, ts_s,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS running_c,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_in_user
+            FROM e WINDOW w AS (PARTITION BY user_id
+                ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING)""",
         # FULL OUTER join of two combiner aggregates; missing sides NULL
         "nation_balance_full": """
             WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -777,6 +777,48 @@ def profile_orders(sf_dir: str) -> Dataset:
     return broadcast_hash_join(stats, nd, on=("col",), join_type="inner")
 
 
+def user_running_total(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """Cumulative running total per user (SQL ``SUM(x) OVER (PARTITION
+    BY user ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)``) — the
+    prefix-sum window that closes out the window family (LAG, trailing
+    ROWS, RANGE, rank/CDF, sessions). One hash-bucket shuffle on user,
+    then a vectorized segmented cumsum per bucket; sums are exact
+    integer cents and the (ts_s, event_id) order key is unique, so the
+    output is deterministic under any partitioning."""
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "user_id",
+                                       "value"])
+    prep = _user_ts_prep(num_buckets, seed=71, extra=lambda b: {
+        "event_id": b.column("event_id").cast(pa.int64()),
+        "cents": _cents(b.column("value")),
+    })
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_s", "event_id"], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in
+                                 ("event_id", "user_id", "ts_s",
+                                  "running_c", "row_in_user")})
+        uid = g["user_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        idx = np.arange(n)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        starts = idx[new_user]
+        base_idx = np.repeat(starts, np.diff(np.r_[starts, n]))
+        cs = np.cumsum(cents)
+        seg_cs = cs - cs[base_idx] + cents[base_idx]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": uid,
+            "ts_s": g["ts_s"].to_numpy(),
+            "running_c": seg_cs.astype(np.int64),
+            "row_in_user": (idx - base_idx + 1).astype(np.int64),
+        })
+
+    return ev.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(run, batch_format="pandas")
+
+
 def nation_balance_full(sf_dir: str) -> Dataset:
     """FULL OUTER join surface: per-nation customer balance vs supplier
     balance, nations missing on either side kept with a NULL total —

@@ -114,3 +114,34 @@ class TestBm25:
             assert (sub["score"].to_numpy()
                     == s[np.array(order)]).all()
             assert sub["rnk"].tolist() == list(range(1, len(order) + 1))
+
+
+class TestUserRunningTotal:
+    def test_matches_pandas_cumsum(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            user_running_total,
+        )
+        rng = np.random.default_rng(79)
+        m = 250
+        events = pd.DataFrame({
+            "event_id": np.arange(1, m + 1, dtype=np.int64),
+            "ts": pd.Timestamp("2022-05-01")
+            + pd.to_timedelta(rng.integers(0, 100, m) * 3600, unit="s"),
+            "user_id": rng.integers(1, 12, m).astype(np.int64),
+            "event_type": "view",
+            "value": rng.uniform(0, 80, m),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        events.to_parquet(d / "events.parquet")
+        got = user_running_total(str(d)).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        e = events.copy()
+        e["ts_s"] = e["ts"].astype("int64") // 10**9
+        e["cents"] = np.trunc(e["value"].to_numpy() * 100).astype(np.int64)
+        e = e.sort_values(["user_id", "ts_s", "event_id"], kind="mergesort")
+        e["running_c"] = e.groupby("user_id")["cents"].cumsum()
+        e["row_in_user"] = e.groupby("user_id").cumcount() + 1
+        ref = e.sort_values("event_id").reset_index(drop=True)
+        assert got["running_c"].tolist() == ref["running_c"].tolist()
+        assert got["row_in_user"].tolist() == ref["row_in_user"].tolist()
