@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trec_merge": R.trec_merge,
         "hard_negative_pairs": R.hard_negative_pairs,
         "teacher_scores": R.teacher_scores,
+        "partitioned_docs": R.partitioned_docs,
         # --- IR metric aggregate (A5) ---
         "ir_metrics": R.ir_metrics,
         # --- graph expansion (reference entity_expander parity) ---
@@ -540,6 +541,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(DENSE_RANK() OVER (ORDER BY total_c) AS BIGINT)
                        AS drnk
             FROM o""",
+        # hive-partitioned write -> partition-pruned read roundtrip; the
+        # oracle reproduces the pruned (en/de) aggregate from the source
+        "partitioned_docs": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc
+            FROM documents WHERE lang IN ('en', 'de')
+            GROUP BY lang""",
         # per-user cumulative prefix sum; unique (ts_s, event_id) order
         "user_running_total": """
             WITH e AS (SELECT event_id, user_id,

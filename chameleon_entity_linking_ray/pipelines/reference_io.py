@@ -262,3 +262,45 @@ def ir_metrics(sf_dir: str, k: int = 10) -> Dataset:
 
     run = orders.map_batches(run_rows, batch_format="pyarrow")
     return ir_metrics_aggregate(run, None, k=k)
+
+
+# ------------------------------- partitioned (hive) parquet sink roundtrip
+
+def partitioned_docs(sf_dir: str) -> Dataset:
+    """RESUMABLE-OUTPUT surface: documents written as hive-partitioned
+    Parquet (one directory per ``lang`` — the layout that lets a failed
+    100 TB run skip finished partitions and lets readers prune at the
+    directory level), then read back with a PARTITION-PRUNED read (only
+    en/de directories listed; fr/und never touched) and re-aggregated.
+    The oracle computes the same per-lang stats straight from the source
+    table, so the write->prune->read path is value-verified."""
+    import shutil
+
+    out = os.path.join(_io_dir(sf_dir), "docs_by_lang")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    docs.write_parquet(out, partition_cols=["lang"])
+
+    # partition-pruned read: ONLY the en/de directories are listed; the
+    # partition value lives in the directory name, so each pruned read
+    # re-attaches it as a constant column (what a hive-aware reader does)
+    def attach(lg: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": pa.array([lg] * batch.num_rows, pa.string()),
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_chars": batch.column("n_chars").cast(pa.int64()),
+            })
+        return f
+
+    parts = [ray.data.read_parquet(f"{out}/lang={lg}")
+             .map_batches(attach(lg), batch_format="pyarrow")
+             for lg in ("en", "de") if os.path.isdir(f"{out}/lang={lg}")]
+    back = parts[0]
+    for p in parts[1:]:
+        back = back.union(p)
+
+    return grouped_agg(back, keys=["lang"],
+                       aggs={"n_docs": (None, "count"),
+                             "sum_chars": ("n_chars", "sum"),
+                             "max_doc": ("doc_id", "max")})

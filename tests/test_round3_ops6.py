@@ -80,3 +80,32 @@ class TestDocTokenRows:
         # positions are 1..len per doc
         for did, sub in got.groupby("doc_id"):
             assert sub["pos"].tolist() == list(range(1, len(sub) + 1))
+
+
+class TestPartitionedDocs:
+    def test_write_prune_read_roundtrip(self, tmp_path, monkeypatch):
+        import chameleon_entity_linking_ray.pipelines.reference_io as rio
+        docs = pd.DataFrame({
+            "doc_id": np.arange(12, dtype=np.int64),
+            "text": "t", "source": "s",
+            "lang": ["en", "de", "fr", "und"] * 3,
+            "n_chars": np.arange(12, dtype=np.int64) * 10,
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        docs.to_parquet(d / "documents.parquet")
+        monkeypatch.setattr(rio, "_io_dir",
+                            lambda sf: str(tmp_path / "io"))
+        (tmp_path / "io").mkdir()
+        got = rio.partitioned_docs(str(d)).to_pandas() \
+            .sort_values("lang").reset_index(drop=True)
+        # only the pruned partitions (en/de) ever come back
+        assert got["lang"].tolist() == ["de", "en"]
+        ref = docs[docs["lang"].isin(["en", "de"])].groupby("lang")
+        assert got.set_index("lang")["n_docs"].to_dict() == \
+            ref.size().to_dict()
+        assert got.set_index("lang")["sum_chars"].to_dict() == \
+            ref["n_chars"].sum().to_dict()
+        # the fr/und directories exist on disk but were never read
+        import os
+        assert os.path.isdir(tmp_path / "io" / "docs_by_lang" / "lang=fr")
