@@ -179,10 +179,17 @@ def grouped_top_k(ds: Dataset, group_keys: list[str], by: list[str],
                   ascending: list[bool], k: int, num_buckets: int = 32,
                   rank_col: str | None = None) -> Dataset:
     """Per-group top-k (the reference's per-query sort-desc + rank,
-    /root/reference/CrossEncoder/test.py:102-106): bucket groups by key
-    hash, one vectorized sort + head(k) per bucket."""
+    /root/reference/CrossEncoder/test.py:102-106): top-k is a COMBINER,
+    so each block first prunes to its own per-group top-k (the shuffle
+    then moves <= k rows per (group, block) instead of every row), then
+    groups are bucketed by key hash and finished with one vectorized
+    sort + head(k) per bucket."""
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(group_keys + by,
+                            ascending=[True] * len(group_keys) + ascending,
+                            kind="mergesort") \
+            .groupby(group_keys, sort=False).head(k)
         df = df.copy()
         df["__abucket"] = _bucket_of(df, group_keys, num_buckets)
         return df
