@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_window": A.rolling_user_window,
         "moving_avg_user": A.moving_avg_user,
         "user_running_total": A.user_running_total,
+        "zscore_events": A.zscore_events,
         "nation_balance_full": A.nation_balance_full,
         "event_pairs_within": A.event_pairs_within,
         "rollup_revenue": A.rollup_revenue,
@@ -549,6 +550,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(doc_id) AS BIGINT) AS max_doc
             FROM documents WHERE lang IN ('en', 'de')
             GROUP BY lang""",
+        # fit/transform z-score standardization from exact int moments;
+        # the (x-mean)/std expression is written identically both sides
+        "zscore_events": """
+            WITH m AS (SELECT COUNT(*) AS n,
+                              SUM(CAST(trunc(value*100) AS BIGINT)) AS s,
+                              SUM(CAST(trunc(value*100) AS BIGINT)
+                                  * CAST(trunc(value*100) AS BIGINT))
+                                  AS s2
+                       FROM events)
+            SELECT event_id,
+                   CAST(trunc(value*100) AS BIGINT) AS value_c,
+                   (CAST(trunc(value*100) AS BIGINT)
+                    - CAST(s AS DOUBLE) / n)
+                   / sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                          / n) AS z
+            FROM events CROSS JOIN m""",
         # per-user cumulative prefix sum; unique (ts_s, event_id) order
         "user_running_total": """
             WITH e AS (SELECT event_id, user_id,

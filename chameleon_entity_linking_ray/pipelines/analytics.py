@@ -777,6 +777,59 @@ def profile_orders(sf_dir: str) -> Dataset:
     return broadcast_hash_join(stats, nd, on=("col",), join_type="inner")
 
 
+@ray.remote
+def _moments_fold(*blocks) -> tuple[int, int, int]:
+    """(n, Σx, Σx²) from the blocks of a constant-key moment aggregate —
+    folded in a worker task so the driver holds only the ref."""
+    n = s = s2 = 0
+    for b in blocks:
+        t = (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+        if t.num_rows == 0:
+            continue
+        n += int(pc.sum(t.column("n")).as_py())
+        s += int(pc.sum(t.column("s")).as_py())
+        s2 += int(pc.sum(t.column("s2")).as_py())
+    return n, s, s2
+
+
+def zscore_events(sf_dir: str) -> Dataset:
+    """FIT/TRANSFORM feature standardization — the ML-preprocessing
+    pattern every training pipeline needs: FIT is one combiner moment
+    aggregate over exact integer cents (n, Σx, Σx² — one row per block,
+    folded in a worker task), TRANSFORM is a map-only broadcast pass
+    computing z = (x - mean) / std with the identical IEEE expression
+    the oracle uses. No shuffle at all: the fit state is O(1) and the
+    transform touches each row once."""
+    ev = read_table(sf_dir, "events", ["event_id", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column("value"))
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "s": pa.array([pc.sum(c).as_py() or 0], pa.int64()),
+            "s2": pa.array([pc.sum(pc.multiply(c, c)).as_py() or 0],
+                           pa.int64()),
+        })
+
+    parts = ev.map_batches(moments, batch_format="pyarrow")
+    ref = _moments_fold.remote(*parts.to_arrow_refs())
+
+    def transform(batch: pa.Table) -> pa.Table:
+        n, s, s2 = ray.get(ref)
+        mean = float(s) / n
+        std = np.sqrt((float(s2) - float(s) * float(s) / n) / n)
+        c = _cents(batch.column("value")).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "event_id": batch.column("event_id").cast(pa.int64()),
+            "value_c": pa.array(c.astype(np.int64), pa.int64()),
+            "z": pa.array((c - mean) / std, pa.float64()),
+        })
+
+    return ev.map_batches(transform, batch_format="pyarrow")
+
+
 def user_running_total(sf_dir: str, num_buckets: int = 32) -> Dataset:
     """Cumulative running total per user (SQL ``SUM(x) OVER (PARTITION
     BY user ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)``) — the

@@ -113,3 +113,33 @@ class TestProfileOrders:
         assert got.loc["o_totalprice_c", "n_distinct"] == 6
         assert got.loc["o_totalprice_c", "min_v"] == 1050
         assert got.loc["o_totalprice_c", "max_v"] == 6012
+
+
+class TestZscoreEvents:
+    def test_matches_formula_and_is_standardized(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            zscore_events,
+        )
+        rng = np.random.default_rng(83)
+        m = 500
+        events = pd.DataFrame({
+            "event_id": np.arange(1, m + 1, dtype=np.int64),
+            "ts": pd.Timestamp("2022-01-01"),
+            "user_id": np.int64(1),
+            "event_type": "view",
+            "value": rng.uniform(0, 200, m),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        events.to_parquet(d / "events.parquet")
+        got = zscore_events(str(d)).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        c = np.trunc(events["value"].to_numpy() * 100).astype(np.int64)
+        n = len(c)
+        mean = float(c.sum()) / n
+        std = np.sqrt((float((c * c).sum())
+                       - float(c.sum()) * float(c.sum()) / n) / n)
+        assert (got["z"].to_numpy() == (c - mean) / std).all()
+        # standardized: mean ~ 0, var ~ 1
+        assert abs(got["z"].mean()) < 1e-12
+        assert got["z"].std(ddof=0) == pytest.approx(1.0, abs=1e-12)
