@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": _q_corpus_prep,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "edit_distance_pairs": C.edit_distance_pairs,
+        "snm_pairs": C.snm_pairs,
         "embedding_near_dups": C.embedding_near_dups,
         "embedding_near_dups_lsh": C.embedding_near_dups_lsh,
         # --- similarity search / vector pooling ---
@@ -1107,6 +1108,16 @@ def oracle_sql() -> dict[str, str]:
             FROM p a JOIN p b ON a.tok = b.tok
               AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 10""",
+        # Sorted-Neighborhood blocking: window-5-neighbor pairs over the
+        # (p_name, p_partkey) total sort order — engine side is one range
+        # sort + boundary-chained block map, never a rank self-join
+        "snm_pairs": """
+            WITH rk AS (SELECT p_partkey AS id,
+                               ROW_NUMBER() OVER (ORDER BY p_name,
+                                                  p_partkey) AS rn
+                        FROM part)
+            SELECT a.id AS left_id, b.id AS right_id
+            FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 5""",
         "embedding_near_dups": """
             SELECT * FROM (
                 SELECT a.vec_id AS left_vec, b.vec_id AS right_vec,

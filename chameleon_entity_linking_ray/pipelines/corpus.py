@@ -1373,3 +1373,35 @@ def doc_token_rows(sf_dir: str, max_doc: int = 50) -> Dataset:
         })
 
     return docs.map_batches(explode, batch_format="pyarrow")
+
+
+# ------------------------------------------------- sorted-neighborhood blocking
+
+def snm_pairs(sf_dir: str, window: int = 6) -> Dataset:
+    """Sorted-Neighborhood blocking over part names: candidate pairs of
+    parts within a ``window``-row sliding window of the (p_name,
+    p_partkey) sort order — the classic record-linkage blocker
+    (Hernandez & Stolfo, SIGMOD'95) the reference approximates with its
+    pre-built BM25 candidate lists
+    (/root/reference/CrossEncoder/test.py:61-75: only the run file's
+    (q, p) pairs are ever scored; SNM is the sort-based equivalent for
+    name-keyed records).
+
+    One range-shuffle sort + a boundary-chained map over sorted blocks
+    (stages/blocking.py:sorted_neighborhood_pairs) — pair count is
+    exactly (n - w/2)*(w - 1), skew-proof by construction. Value oracle:
+    ROW_NUMBER self-join in DuckDB.
+    """
+    from chameleon_entity_linking_ray.stages.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = read_table(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch.column("p_partkey").cast(pa.int64()),
+                         "key": batch.column("p_name").cast(pa.string())})
+
+    keyed = part.map_batches(prep, batch_format="pyarrow")
+    return sorted_neighborhood_pairs(keyed, key_col="key", id_col="id",
+                                     window=window)

@@ -31,6 +31,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
+import ray.data
+from ray.data import Dataset
 
 from chameleon_entity_linking_ray.config import LinkageConfig
 from chameleon_entity_linking_ray.functions.hashing import hash64, mix64
@@ -158,6 +161,82 @@ def add_pair_bucket(num_buckets: int):
             "pbucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32()))
 
     return fn
+
+
+@ray.remote(num_cpus=0.25)
+def _snm_tail(prev_tail: pa.Table, block: pa.Table, n: int) -> pa.Table:
+    """Last ``n`` rows of concat(prev_tail, block) — the boundary rows the
+    NEXT sorted block needs. O(window) rows; chained block-to-block so the
+    sorted table never round-trips through the driver."""
+    t = block if prev_tail is None else \
+        pa.concat_tables([prev_tail, block]).combine_chunks()
+    return t.slice(max(0, t.num_rows - n))
+
+
+@ray.remote
+def _snm_window_pairs(prev_tail: pa.Table, block: pa.Table, window: int,
+                      id_col: str) -> pa.Table:
+    """Emit (left_id, right_id) for every row j of ``block`` paired with
+    its ``window - 1`` predecessors in global sort order (prev_tail carries
+    the cross-block predecessors). Pure vectorized ragged-arange — no
+    Python loop over rows."""
+    if prev_tail is None:
+        t, n_prev = block, 0
+    else:
+        t = pa.concat_tables([prev_tail, block]).combine_chunks()
+        n_prev = prev_tail.num_rows
+    ids = t.column(id_col)
+    total = t.num_rows
+    j = np.arange(n_prev, total, dtype=np.int64)
+    c = np.minimum(window - 1, j)
+    npairs = int(c.sum())
+    empty = pa.array([], pa.int64())
+    if npairs == 0:
+        return pa.table({"left_id": ids.take(empty), "right_id": ids.take(empty)})
+    jj = np.repeat(j, c)
+    seg = np.zeros(len(j), np.int64)
+    seg[1:] = np.cumsum(c)[:-1]
+    k = np.arange(npairs, dtype=np.int64) - np.repeat(seg, c)
+    ii = jj - np.repeat(c, c) + k
+    return pa.table({"left_id": ids.take(pa.array(ii)),
+                     "right_id": ids.take(pa.array(jj))})
+
+
+def sorted_neighborhood_pairs(ds: Dataset, key_col: str, id_col: str,
+                              window: int = 5) -> Dataset:
+    """Sorted-Neighborhood Method blocking (Hernandez & Stolfo, SIGMOD'95):
+    sort records by a blocking key, slide a ``window``-row window over the
+    global sort order, emit every in-window candidate pair. The classic
+    complement to LSH/token blocking when near-duplicates sort adjacently
+    (names, addresses) — pair count is O(n * window), skew-proof by
+    construction (a hot key contributes windowed pairs only, exactly the
+    ``max_block_size`` fallback in ``make_pair_generator``).
+
+    Dataflow: ONE range-shuffle sort on ``(key, id)`` (the id tie-break
+    makes the total order — and therefore the pair set — deterministic
+    under duplicate keys); then a map over the sorted blocks where each
+    block receives the previous block's last ``window - 1`` rows through a
+    chain of O(window)-row boundary tasks. Blocks stay in the object store
+    end-to-end — the driver touches refs only.
+
+    Output: (left_id, right_id), left earlier in sort order. left_id can
+    exceed right_id when keys sort against id order — canonicalize
+    downstream if the consumer needs (min, max) pairs.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    # local import: pipelines.linkage imports this module at top level
+    from chameleon_entity_linking_ray.pipelines.linkage import _materialize_ordered
+
+    s = _materialize_ordered(ds.select_columns([id_col, key_col])
+                             .sort([key_col, id_col]))
+    refs = s.to_arrow_refs()
+    prev = None  # first block has no cross-block predecessors
+    pair_refs = []
+    for r in refs:
+        pair_refs.append(_snm_window_pairs.remote(prev, r, window, id_col))
+        prev = _snm_tail.remote(prev, r, window - 1)
+    return ray.data.from_arrow_refs(pair_refs)
 
 
 def dedup_pairs_fn():
