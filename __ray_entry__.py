@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- in-engine BM25 (replaces the reference's pre-built
         #     Anserini run file, CrossEncoder/test.py:61-75) ---
         "bm25_topk": C.bm25_topk,
+        "rerank_bm25": C.rerank_bm25,
     }
 
 
@@ -731,6 +732,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
             FROM scored
+            QUALIFY rnk <= 10""",
+        # the composed retrieve-then-rerank flow: BM25 top-50 candidates,
+        # rerank = 0.9*bm25 + 0.1*token-set-Jaccard (the reference's
+        # 0.9/0.1 blend), per-query top-10 — one value oracle over the
+        # WHOLE composition
+        "rerank_bm25": r"""
+            WITH q(query_id, term) AS (VALUES
+                ('q1','hash'), ('q1','join'), ('q1','table'),
+                ('q2','window'), ('q2','agg'), ('q2','stream'),
+                ('q3','fast'), ('q3','scan'), ('q3','filter')),
+            qn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nq
+                   FROM q GROUP BY query_id),
+            tk AS (SELECT doc_id, unnest(string_split_regex(trim(text),
+                                                            '\s+')) AS tok
+                   FROM documents WHERE length(trim(text)) > 0),
+            dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+                   FROM tk GROUP BY doc_id),
+            stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                             (SELECT CAST(SUM(dl) AS DOUBLE)
+                                     / (SELECT COUNT(*) FROM documents)
+                              FROM dl) AS avgdl),
+            tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+                   FROM tk WHERE tok IN (SELECT term FROM q)
+                   GROUP BY doc_id, tok),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+                SELECT q.query_id, tf.doc_id,
+                       ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                           AS c
+                FROM q JOIN tf ON q.term = tf.term
+                  JOIN df ON df.term = q.term
+                  JOIN dl ON dl.doc_id = tf.doc_id
+                  CROSS JOIN stats s),
+            scored AS (SELECT query_id, doc_id,
+                              ROUND(SUM(c), 6) AS score
+                       FROM contrib GROUP BY query_id, doc_id),
+            cand AS (SELECT query_id, doc_id, score FROM (
+                SELECT query_id, doc_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS r
+                FROM scored) WHERE r <= 50),
+            ddist AS (SELECT doc_id,
+                             CAST(COUNT(DISTINCT tok) AS BIGINT) AS dtoks
+                      FROM tk GROUP BY doc_id),
+            inter AS (SELECT q.query_id, tk.doc_id,
+                             CAST(COUNT(DISTINCT tk.tok) AS BIGINT) AS i
+                      FROM q JOIN tk ON tk.tok = q.term
+                      GROUP BY q.query_id, tk.doc_id),
+            rr AS (SELECT c.query_id, c.doc_id, c.score AS bm25,
+                          CAST(COALESCE(i.i, 0) AS DOUBLE)
+                          / CAST(dd.dtoks + qn.nq - COALESCE(i.i, 0)
+                                 AS DOUBLE) AS jac_raw
+                   FROM cand c
+                     JOIN ddist dd ON dd.doc_id = c.doc_id
+                     JOIN qn ON qn.query_id = c.query_id
+                     LEFT JOIN inter i ON i.query_id = c.query_id
+                                      AND i.doc_id = c.doc_id)
+            SELECT query_id, doc_id, bm25, ROUND(jac_raw, 6) AS jac,
+                   ROUND(0.9 * bm25 + 0.1 * jac_raw, 6) AS rerank,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY ROUND(0.9 * bm25 + 0.1 * jac_raw, 6) DESC,
+                                 doc_id) AS BIGINT) AS rnk
+            FROM rr
             QUALIFY rnk <= 10""",
         # ROW_NUMBER / NTILE without a global sort: unique (total_c,
         # orderkey) order key, exact int arithmetic on both engines

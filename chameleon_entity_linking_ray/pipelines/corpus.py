@@ -1405,3 +1405,125 @@ def snm_pairs(sf_dir: str, window: int = 6) -> Dataset:
     keyed = part.map_batches(prep, batch_format="pyarrow")
     return sorted_neighborhood_pairs(keyed, key_col="key", id_col="id",
                                      window=window)
+
+
+# ------------------------------------------------------- retrieve-then-rerank
+
+@ray.remote
+def _assemble_small(*blocks) -> pa.Table:
+    """Concat a SMALL table's block refs in a worker task — the broadcast
+    handle pattern (never ray.get on the driver)."""
+    tabs = [b if isinstance(b, pa.Table)
+            else pa.Table.from_pandas(b, preserve_index=False)
+            for b in blocks]
+    # zero-row pandas blocks carry degenerate dtypes (object/float64)
+    # that poison the concat schema — drop them
+    nonempty = [t for t in tabs if t.num_rows > 0]
+    return pa.concat_tables(nonempty or tabs[:1]).combine_chunks()
+
+
+def rerank_bm25(sf_dir: str, k_retrieve: int = 50,
+                k_final: int = 10) -> Dataset:
+    """The reference's core retrieve-then-rerank flow as ONE composed,
+    value-verified pipeline (/root/reference/CrossEncoder/test.py: read
+    BM25 candidates :61-75 -> score each (q, p) pair :80-106 -> sort desc
+    + rank :102-106): BM25 top-``k_retrieve`` retrieval in-engine, then a
+    rerank score over the candidates, then per-query top-``k_final``.
+
+    The rerank score mirrors the reference's 0.9/0.1 text/entity blend
+    (/root/reference/BiEncoder/test.py:120): rerank = 0.9 * bm25 +
+    0.1 * token-set Jaccard(query, doc) — both terms SQL-expressible, so
+    the whole composition hash-matches DuckDB (unlike the model scorer,
+    which is pinned by the linkage e2e instead).
+
+    Shape: the candidate table (<= #queries * k_retrieve rows) is
+    assembled from block refs in a worker task and broadcast; the rerank
+    pass is a map over the documents table (is_in prefilter, vectorized
+    distinct-token counts + per-term presence), so no shuffle touches the
+    corpus — the only shuffle is the final tiny per-query top-k.
+    """
+    terms_by_q = {q: BM25_QUERIES[q].split() for q in sorted(BM25_QUERIES)}
+    qids = sorted(terms_by_q)
+    cand = bm25_topk(sf_dir, k=k_retrieve)
+    cand_ref = _assemble_small.remote(*cand.to_arrow_refs())
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def rerank(batch: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        empty = pa.table({
+            "query_id": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "bm25": pa.array([], pa.float64()),
+            "jac": pa.array([], pa.float64()),
+            "rerank": pa.array([], pa.float64())})
+        keep = pc.is_in(batch.column("doc_id").cast(pa.int64()),
+                        value_set=c.column("doc_id").combine_chunks())
+        sub = batch.filter(keep)
+        if sub.num_rows == 0:
+            return empty
+        text = pc.utf8_trim_whitespace(sub.column("text"))
+        toks = pc.split_pattern_regex(text, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+        off = np.asarray(toks.offsets)
+        lens = np.diff(off)
+        n = sub.num_rows
+        seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # distinct tokens per doc: sort within segment, count run heads
+        order = np.lexsort((flat, seg))
+        fs, ss = flat[order], seg[order]
+        head = np.ones(len(fs), bool)
+        if len(fs) > 1:
+            head[1:] = (ss[1:] != ss[:-1]) | (fs[1:] != fs[:-1])
+        distinct = np.bincount(ss[head], minlength=n).astype(np.int64)
+        # per-query intersection size: presence of each query term
+        inter = {}
+        for q in qids:
+            acc = np.zeros(n, np.int64)
+            for t in terms_by_q[q]:
+                eq = (flat == t).astype(np.int64)
+                pres = (np.add.reduceat(eq, off[:-1]) > 0) if len(flat) \
+                    else np.zeros(n, bool)
+                pres = np.where(lens > 0, pres, False)
+                acc += pres.astype(np.int64)
+            inter[q] = acc
+        stats = pd.DataFrame({
+            "doc_id": sub.column("doc_id").cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "distinct": distinct,
+            **{f"i_{q}": inter[q] for q in qids}})
+        cdf = c.to_pandas()
+        m = cdf.merge(stats, on="doc_id", how="inner")
+        if len(m) == 0:
+            return empty
+        qn = m["query_id"].map({q: len(terms_by_q[q]) for q in qids}) \
+            .to_numpy(np.int64)
+        im = np.choose(
+            m["query_id"].map({q: i for i, q in enumerate(qids)})
+            .to_numpy(np.int64),
+            [m[f"i_{q}"].to_numpy(np.int64) for q in qids])
+        union = m["distinct"].to_numpy(np.int64) + qn - im
+        jac = im.astype(np.float64) / union.astype(np.float64)
+        bm25 = m["score"].to_numpy(np.float64)
+        rr = np.round(0.9 * bm25 + 0.1 * jac, 6)
+        return pa.table({
+            "query_id": pa.array(m["query_id"].to_numpy(object),
+                                 pa.string()),
+            "doc_id": pa.array(m["doc_id"].to_numpy(np.int64), pa.int64()),
+            "bm25": pa.array(bm25, pa.float64()),
+            "jac": pa.array(np.round(jac, 6), pa.float64()),
+            "rerank": pa.array(rr, pa.float64())})
+
+    reranked = docs.map_batches(rerank, batch_format="pyarrow")
+    out = grouped_top_k(reranked, group_keys=["query_id"],
+                        by=["rerank", "doc_id"], ascending=[False, True],
+                        k=k_final, rank_col="rnk")
+
+    def shape(df_: pd.DataFrame) -> pd.DataFrame:
+        df_ = df_.copy()
+        df_["rnk"] = df_["rnk"].astype(np.int64)
+        return df_[["query_id", "doc_id", "bm25", "jac", "rerank", "rnk"]]
+
+    return out.map_batches(shape, batch_format="pandas")

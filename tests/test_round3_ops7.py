@@ -61,3 +61,30 @@ class TestSortedNeighborhood:
         with pytest.raises(ValueError):
             sorted_neighborhood_pairs(rd.from_pandas(df), "key", "id",
                                       window=1)
+
+
+class TestRerankBM25:
+    def test_composition_invariants(self):
+        from chameleon_entity_linking_ray.pipelines.corpus import (
+            BM25_QUERIES, bm25_topk, rerank_bm25,
+        )
+        sf = "/root/testdata/sf0.001"
+        got = rerank_bm25(sf, k_retrieve=50, k_final=10).to_pandas()
+        cand = bm25_topk(sf, k=50).to_pandas()
+        cand_set = set(zip(cand["query_id"], cand["doc_id"]))
+        for q in BM25_QUERIES:
+            g = got[got["query_id"] == q].sort_values("rnk")
+            assert g["rnk"].tolist() == list(range(1, len(g) + 1))
+            assert len(g) <= 10
+            # rerank is non-increasing down the ranking
+            rr = g["rerank"].to_numpy()
+            assert (rr[:-1] >= rr[1:]).all()
+        # every reranked (q, doc) came out of the retrieve stage
+        assert set(zip(got["query_id"], got["doc_id"])) <= cand_set
+        # the blend is the documented 0.9/0.1 mix of its own columns
+        # (rounded at 6dp; bm25 is already 6dp-rounded)
+        import numpy as np
+        lo = 0.9 * got["bm25"] + 0.1 * (got["jac"] - 5e-7)
+        hi = 0.9 * got["bm25"] + 0.1 * (got["jac"] + 5e-7)
+        assert ((got["rerank"] >= np.round(lo, 6) - 1e-6)
+                & (got["rerank"] <= np.round(hi, 6) + 1e-6)).all()
