@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flag_corr": A.flag_corr,
         "profile_orders": A.profile_orders,
         "sessionize_events": A.sessionize_events,
+        "funnel_events": A.funnel_events,
         "rolling_user_window": A.rolling_user_window,
         "moving_avg_user": A.moving_avg_user,
         "user_running_total": A.user_running_total,
@@ -465,6 +466,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    MAX(ts_s) - MIN(ts_s) AS duration_s
             FROM s GROUP BY user_id, sid""",
+        # ordered-sequence funnel: each step strictly after the previous
+        # step's first completion; epoch-us int64 comparisons on both
+        # engines so tie semantics are exact
+        "funnel_events": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                  FROM events),
+            s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e
+                   JOIN s1 USING (user_id)
+                   WHERE event_type = 'click' AND ts_us > t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e
+                   JOIN s2 USING (user_id)
+                   WHERE event_type = 'purchase' AND ts_us > t2
+                   GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             WHEN t1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS depth,
+                   t1, t2, t3
+            FROM u LEFT JOIN s1 USING (user_id)
+                   LEFT JOIN s2 USING (user_id)
+                   LEFT JOIN s3 USING (user_id)""",
         # RANGE-mode rolling window: peers (equal ts) share one window on
         # both sides, so tie order can never perturb the hash
         "rolling_user_window": """

@@ -1554,3 +1554,79 @@ def pivot_revenue(sf_dir: str) -> Dataset:
         return pa.Table.from_pandas(wide, schema=_OUT, preserve_index=False)
 
     return fine.repartition(1).map_batches(reshape, batch_format="pyarrow")
+
+
+def funnel_events(sf_dir: str, steps: tuple[str, str, str] =
+                  ("view", "click", "purchase"),
+                  num_buckets: int = 32) -> Dataset:
+    """Ordered-sequence funnel per user: how far each user progressed
+    through ``steps`` where each step must occur STRICTLY AFTER the
+    previous step's first completion (the classic product-analytics
+    funnel; the reference's per-qid candidate loops are the same
+    group-then-scan shape, /root/reference/CrossEncoder/test.py:80-106).
+
+    One hash-bucket shuffle co-locates each user's events; the per-bucket
+    kernel is a vectorized three-stage min-cascade (pandas groupby-min per
+    stage, no per-event Python). Timestamps compare in epoch-us int64, so
+    "after" is exact and tie-handling (same-microsecond events do NOT
+    satisfy strictly-after) is deterministic under any ordering.
+
+    Emits one row per distinct user: (user_id, depth 0-3, t1, t2, t3
+    nullable epoch-us).
+    """
+    from chameleon_entity_linking_ray.functions.hashing import mix64
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").cast(pa.int64()).combine_chunks()
+        u = uid.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": uid,
+            "ts_us": b.column("ts").cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "event_type": b.column("event_type").cast(pa.string()),
+            "bucket": pa.array((mix64(u.astype(np.uint64), seed=53)
+                                % np.uint64(num_buckets)).astype(np.int32),
+                               pa.int32()),
+        })
+
+    a, bstep, cstep = steps
+
+    def _nullable_int(col: pd.Series) -> pa.Array:
+        v = col.to_numpy(dtype=np.float64, na_value=np.nan)
+        m = np.isnan(v)
+        return pa.array(np.where(m, 0, v).astype(np.int64), pa.int64(),
+                        mask=m)
+
+    def funnel(g: pd.DataFrame) -> pa.Table:
+        users = pd.DataFrame({"user_id":
+                              np.unique(g["user_id"].to_numpy())})
+        if len(users) == 0:
+            e64 = pa.array([], pa.int64())
+            return pa.table({"user_id": e64, "depth": e64,
+                             "t1": e64, "t2": e64, "t3": e64})
+        s1 = g[g["event_type"] == a].groupby("user_id")["ts_us"] \
+            .min().rename("t1").reset_index()
+        m2 = g[g["event_type"] == bstep].merge(s1, on="user_id")
+        s2 = m2[m2["ts_us"] > m2["t1"]].groupby("user_id")["ts_us"] \
+            .min().rename("t2").reset_index()
+        m3 = g[g["event_type"] == cstep].merge(s2, on="user_id")
+        s3 = m3[m3["ts_us"] > m3["t2"]].groupby("user_id")["ts_us"] \
+            .min().rename("t3").reset_index()
+        out = users.merge(s1, on="user_id", how="left") \
+                   .merge(s2, on="user_id", how="left") \
+                   .merge(s3, on="user_id", how="left")
+        depth = (out["t1"].notna().astype(np.int64)
+                 + out["t2"].notna().astype(np.int64)
+                 + out["t3"].notna().astype(np.int64))
+        return pa.table({
+            "user_id": pa.array(out["user_id"].to_numpy(np.int64),
+                                pa.int64()),
+            "depth": pa.array(depth.to_numpy(np.int64), pa.int64()),
+            "t1": _nullable_int(out["t1"]),
+            "t2": _nullable_int(out["t2"]),
+            "t3": _nullable_int(out["t3"])})
+
+    return ev.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(funnel, batch_format="pandas")

@@ -88,3 +88,35 @@ class TestRerankBM25:
         hi = 0.9 * got["bm25"] + 0.1 * (got["jac"] + 5e-7)
         assert ((got["rerank"] >= np.round(lo, 6) - 1e-6)
                 & (got["rerank"] <= np.round(hi, 6) + 1e-6)).all()
+
+
+class TestFunnelEvents:
+    def test_strict_order_and_ties(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            funnel_events,
+        )
+        # u0: full funnel in order; u1: purchase BEFORE click (depth 2);
+        # u2: click at the SAME us as view (strictly-after fails, depth 1);
+        # u3: no view at all (depth 0)
+        rows = [
+            (0, 100, "view"), (0, 200, "click"), (0, 300, "purchase"),
+            (1, 100, "view"), (1, 50, "purchase"), (1, 200, "click"),
+            (2, 100, "view"), (2, 100, "click"),
+            (3, 100, "click"), (3, 200, "purchase"),
+        ]
+        ev = pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+            "event_type": [r[2] for r in rows],
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        ev.to_parquet(d / "events.parquet")
+        got = funnel_events(str(d)).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        assert got["depth"].tolist() == [3, 2, 1, 0]
+        assert got.loc[0, ["t1", "t2", "t3"]].tolist() == [100, 200, 300]
+        # u1's click at 200 never finds a later purchase
+        assert got.loc[1, "t2"] == 200 and pd.isna(got.loc[1, "t3"])
+        assert pd.isna(got.loc[2, "t2"])
+        assert pd.isna(got.loc[3, "t1"])
