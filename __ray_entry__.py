@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_copurchase": _q_triangles,
         "segment_percentiles": A.segment_percentiles,
         "pivot_revenue": A.pivot_revenue,
+        "unpivot_revenue": A.unpivot_revenue,
+        "histogram_orders": A.histogram_orders,
         "row_number_orders": A.row_number_orders,
         "user_gaps": A.user_gaps,
         "segment_stats": A.segment_stats,
@@ -251,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data prep (pipelines/traindata.py) ---
         "redact_ids": T.redact_ids,
         "sample_documents": T.sample_documents,
+        "weighted_sample": T.weighted_sample,
         "stratified_sample": T.stratified_sample,
         "pack_sequences": T.pack_sequences,
         "top_ngrams": T.top_ngrams,
@@ -265,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": T.source_mix,
         "budget_sample": T.budget_sample,
         "approx_distinct": T.approx_distinct,
+        "grouped_approx_distinct": T.grouped_approx_distinct,
         "heavy_hitters": T.heavy_hitters,
         "hdr_percentiles": T.hdr_percentiles,
         "doc_token_rows": C.doc_token_rows,
@@ -549,6 +553,38 @@ def oracle_sql() -> dict[str, str]:
                     JOIN nation ON c_nationkey = n_nationkey
                     JOIN region ON n_regionkey = r_regionkey)
             GROUP BY r_name""",
+        # UNPIVOT of the same wide table back to (region, segment, cell);
+        # pivot cells are 0 (never NULL) so every cell row survives
+        "unpivot_revenue": """
+            UNPIVOT (
+              SELECT r_name,
+                CAST(SUM(CASE WHEN c_mktsegment='AUTOMOBILE' THEN total_c
+                         ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+                CAST(SUM(CASE WHEN c_mktsegment='BUILDING' THEN total_c
+                         ELSE 0 END) AS BIGINT) AS "BUILDING",
+                CAST(SUM(CASE WHEN c_mktsegment='FURNITURE' THEN total_c
+                         ELSE 0 END) AS BIGINT) AS "FURNITURE",
+                CAST(SUM(CASE WHEN c_mktsegment='HOUSEHOLD' THEN total_c
+                         ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+                CAST(SUM(CASE WHEN c_mktsegment='MACHINERY' THEN total_c
+                         ELSE 0 END) AS BIGINT) AS "MACHINERY"
+              FROM (SELECT r_name, c_mktsegment,
+                           CAST(trunc(o_totalprice*100) AS BIGINT)
+                               AS total_c
+                    FROM orders JOIN customer ON o_custkey = c_custkey
+                      JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey)
+              GROUP BY r_name)
+            ON "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+               "MACHINERY"
+            INTO NAME segment VALUE revenue_c""",
+        # equi-width histogram: exact int64 floor-division bucket edges
+        "histogram_orders": """
+            SELECT bucket, bucket * 5000000 AS lo_c,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT CAST(trunc(o_totalprice*100) AS BIGINT)
+                         // 5000000 AS bucket FROM orders)
+            GROUP BY bucket""",
         # global CDF: tie-deterministic CUME_DIST; int/int division is
         # bit-identical IEEE double on both engines
         "cume_dist_orders": """
@@ -1432,6 +1468,18 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": """
             SELECT doc_id, lang FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2800'""",
+        # weighted Bernoulli sample: pure-integer cross-multiply predicate
+        # (u36 * wmax < total_c * 2^36) — no floats, bit-exact everywhere
+        "weighted_sample": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(trunc(o_totalprice*100) AS BIGINT)
+                                  AS total_c,
+                              CAST(concat('0x', substring(
+                                  md5(CAST(o_orderkey AS VARCHAR)), 1, 9))
+                                  AS BIGINT) AS u36
+                       FROM orders)
+            SELECT o_orderkey, total_c FROM o
+            WHERE u36 * 60000000 < total_c * 68719476736""",
         "stratified_sample": """
             SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
             FROM (SELECT lang, doc_id,
@@ -1664,6 +1712,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m AS BIGINT) AS n_hashes,
                    CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
                         ELSE (256 - 1) /
+                             (CAST(kth AS DOUBLE) / POWER(16, 15))
+                   END AS n_distinct_est
+            FROM a""",
+        # grouped KMV: per-source k-minimum md5 values — deterministic
+        # set, so the grouped estimate is bit-reproducible in SQL
+        "grouped_approx_distinct": """
+            WITH h AS (SELECT DISTINCT source,
+                           CAST(concat('0x', substr(md5(text), 1, 15))
+                                AS BIGINT) AS v
+                       FROM documents),
+                 s AS (SELECT source, v, ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY v) AS rn FROM h),
+                 a AS (SELECT source, COUNT(*) AS m, MAX(v) AS kth
+                       FROM s WHERE rn <= 16 GROUP BY source)
+            SELECT source, CAST(16 AS BIGINT) AS k,
+                   CAST(m AS BIGINT) AS n_hashes,
+                   CASE WHEN m < 16 THEN CAST(m AS DOUBLE)
+                        ELSE (16 - 1) /
                              (CAST(kth AS DOUBLE) / POWER(16, 15))
                    END AS n_distinct_est
             FROM a""",

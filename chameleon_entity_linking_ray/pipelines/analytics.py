@@ -1630,3 +1630,51 @@ def funnel_events(sf_dir: str, steps: tuple[str, str, str] =
 
     return ev.map_batches(prep, batch_format="pyarrow") \
         .groupby("bucket").map_groups(funnel, batch_format="pandas")
+
+
+def histogram_orders(sf_dir: str, width_c: int = 50_000_00) -> Dataset:
+    """Equi-width histogram of order totals: bucket = total_c //
+    ``width_c`` (exact int64 floor division, so bucket edges agree with
+    SQL's ``//`` everywhere). ONE combiner grouped_agg over at most
+    O(value range / width) rows — the profiler histogram whose shuffle
+    never touches the fact rows.
+    """
+    orders = read_table(sf_dir, "orders", ["o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        tc = _cents(batch.column("o_totalprice"))
+        return pa.table({
+            "bucket": pc.divide(tc, width_c)})
+
+    agg = grouped_agg(orders.map_batches(prep, batch_format="pyarrow"),
+                      keys=["bucket"], aggs={"n": (None, "count")})
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["bucket"].to_numpy(np.int64)
+        return pd.DataFrame({"bucket": b, "lo_c": b * width_c,
+                             "n": df["n"].to_numpy(np.int64)})
+
+    return agg.map_batches(shape, batch_format="pandas")
+
+
+def unpivot_revenue(sf_dir: str) -> Dataset:
+    """UNPIVOT / melt surface: the wide ``pivot_revenue`` table reshaped
+    back to one row per (region, segment, revenue_c) cell — pure
+    O(groups) Arrow reshaping on top of the same shuffle-free pivot
+    aggregate; the fact stream is never touched twice."""
+    wide = pivot_revenue(sf_dir)
+    segs = list(_SEGMENTS)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), len(segs)))
+        vals = np.empty((n, len(segs)), np.int64)
+        for j, s in enumerate(segs):
+            vals[:, j] = batch.column(s).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": batch.column("r_name").take(idx),
+            "segment": pa.array(np.tile(np.asarray(segs, object), n),
+                                pa.string()),
+            "revenue_c": pa.array(vals.reshape(-1), pa.int64())})
+
+    return wide.map_batches(melt, batch_format="pyarrow")

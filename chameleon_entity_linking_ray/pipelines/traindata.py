@@ -1068,3 +1068,85 @@ def hdr_percentiles(sf_dir: str, qs: tuple[float, ...] =
     return ray.data.from_arrow(pa.table({
         "q": pa.array(out_q, pa.float64()),
         "est_c": pa.array(out_v, pa.int64())}))
+
+
+def grouped_approx_distinct(sf_dir: str, k: int = 16) -> Dataset:
+    """Per-source approximate COUNT(DISTINCT text) — the GROUPED form of
+    the KMV sketch (``approx_distinct``), fully distributed: each block's
+    combiner keeps the k smallest distinct md5 values PER GROUP (<= k
+    rows per (block, group)), a (source, v) dedup collapses cross-block
+    duplicates, ``grouped_top_k`` keeps the global per-group k-min set,
+    and one tiny grouped_agg yields (m, kth) -> est. Only sketch rows
+    ever shuffle — the corpus stays map-only.
+
+    Like the global sketch, the k minimum md5 values are a deterministic
+    set, so the per-group ESTIMATE is bit-reproducible in SQL (the same
+    value-verified-sketch property). k=16 keeps the estimator path
+    exercised on the small test tables; production k would be 256+.
+    """
+    from chameleon_entity_linking_ray.stages.agg import (
+        grouped_agg, grouped_top_k,
+    )
+
+    docs = read_table(sf_dir, "documents", ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["source", "text"]).to_pandas() \
+            .drop_duplicates()
+        df["v"] = np.fromiter(
+            (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+             for s in df["text"]), np.int64, len(df))
+        df = df.drop_duplicates(subset=["source", "v"]) \
+            .sort_values(["source", "v"], kind="mergesort") \
+            .groupby("source", sort=False).head(k)
+        return pa.table({
+            "source": pa.array(df["source"].to_numpy(object), pa.string()),
+            "v": pa.array(df["v"].to_numpy(np.int64), pa.int64())})
+
+    cands = docs.map_batches(partial, batch_format="pyarrow")
+    dist = grouped_agg(cands, keys=["source", "v"],
+                       aggs={"c": (None, "count")})
+    kmin = grouped_top_k(dist, group_keys=["source"], by=["v"],
+                         ascending=[True], k=k, rank_col="rn")
+    agg = grouped_agg(kmin, keys=["source"],
+                      aggs={"n_hashes": (None, "count"), "kth": ("v", "max")})
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["n_hashes"].to_numpy(np.int64)
+        kth = df["kth"].to_numpy(np.float64)
+        est = np.where(m < k, m.astype(np.float64),
+                       (k - 1) / (kth / 16.0 ** 15))
+        return pd.DataFrame({
+            "source": df["source"],
+            "k": np.full(len(df), k, np.int64),
+            "n_hashes": m,
+            "n_distinct_est": est})
+
+    return agg.map_batches(estimate, batch_format="pandas")
+
+
+def weighted_sample(sf_dir: str, wmax_c: int = 60_000_000) -> Dataset:
+    """Weighted deterministic Bernoulli sample: keep an order with
+    probability ~ total_c / ``wmax_c`` — selection by EXACT integer
+    cross-multiply ``u36 * wmax_c < total_c * 2^36`` where u36 is the
+    first 9 md5 hex chars of the orderkey (36 bits of content-addressed
+    randomness). No floats anywhere in the predicate, so engine and SQL
+    agree bit-for-bit; like ``sample_documents``, hash-based selection
+    survives resume/repartition. Both products stay under 2^63 for
+    total_c < wmax_c <= ~1.3e8 cents. Map-only — zero shuffle.
+    """
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("o_orderkey").to_pylist()
+        u36 = np.fromiter((int(h[:9], 16) for h in _md5_hex(ids)),
+                          np.int64, len(ids))
+        tc = pc.cast(pc.trunc(pc.multiply(
+            batch.column("o_totalprice"), 100.0)), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = u36 * wmax_c < tc * (1 << 36)
+        out = pa.table({"o_orderkey": batch.column("o_orderkey"),
+                        "total_c": pa.array(tc, pa.int64())})
+        return out.filter(pa.array(keep))
+
+    return orders.map_batches(fn, batch_format="pyarrow")

@@ -120,3 +120,44 @@ class TestFunnelEvents:
         assert got.loc[1, "t2"] == 200 and pd.isna(got.loc[1, "t3"])
         assert pd.isna(got.loc[2, "t2"])
         assert pd.isna(got.loc[3, "t1"])
+
+
+class TestQuickOps:
+    def test_histogram_counts_sum_to_rows(self):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            histogram_orders,
+        )
+        import pyarrow.parquet as pq
+        got = histogram_orders("/root/testdata/sf0.001").to_pandas()
+        n = pq.read_metadata(
+            "/root/testdata/sf0.001/orders.parquet").num_rows
+        assert got["n"].sum() == n
+        assert (got["lo_c"] == got["bucket"] * 5_000_00 * 10).all() or \
+            (got["lo_c"] == got["bucket"] * 5_000_000).all()
+
+    def test_unpivot_cells_match_pivot(self):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            pivot_revenue, unpivot_revenue,
+        )
+        wide = pivot_revenue("/root/testdata/sf0.001").to_pandas() \
+            .set_index("r_name")
+        tall = unpivot_revenue("/root/testdata/sf0.001").to_pandas()
+        assert len(tall) == wide.shape[0] * wide.shape[1]
+        for _, r in tall.iterrows():
+            assert wide.loc[r["r_name"], r["segment"]] == r["revenue_c"]
+
+    def test_weighted_sample_prefers_big_orders(self):
+        from chameleon_entity_linking_ray.pipelines.traindata import (
+            weighted_sample,
+        )
+        import duckdb
+        got = weighted_sample("/root/testdata/sf0.001").to_pandas()
+        all_tc = duckdb.sql(
+            "SELECT CAST(trunc(o_totalprice*100) AS BIGINT) AS tc FROM "
+            "'/root/testdata/sf0.001/orders.parquet'").df()["tc"]
+        # selection is Bernoulli(total/wmax): the sampled mean must sit
+        # well above the population mean
+        assert got["total_c"].mean() > all_tc.mean() * 1.15
+        # determinism: re-run is identical
+        again = weighted_sample("/root/testdata/sf0.001").to_pandas()
+        assert sorted(got["o_orderkey"]) == sorted(again["o_orderkey"])
