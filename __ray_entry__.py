@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": _q_corpus_prep,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "edit_distance_pairs": C.edit_distance_pairs,
+        "damerau_pairs": C.damerau_pairs,
         "snm_pairs": C.snm_pairs,
         "embedding_near_dups": C.embedding_near_dups,
         "embedding_near_dups_lsh": C.embedding_near_dups_lsh,
@@ -1237,6 +1238,18 @@ def oracle_sql() -> dict[str, str]:
             FROM p a JOIN p b ON a.tok = b.tok
               AND a.p_partkey < b.p_partkey
             WHERE levenshtein(a.p_name, b.p_name) <= 10""",
+        # unrestricted Damerau-Levenshtein join (true transpositions):
+        # value-pins the batched Lowrance-Wagner DP kernel
+        "damerau_pairs": """
+            WITH p AS (SELECT p_partkey, p_name,
+                              string_split(p_name, ' ')[1] AS tok
+                       FROM part)
+            SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+                   CAST(damerau_levenshtein(a.p_name, b.p_name)
+                        AS BIGINT) AS dl
+            FROM p a JOIN p b ON a.tok = b.tok
+              AND a.p_partkey < b.p_partkey
+            WHERE damerau_levenshtein(a.p_name, b.p_name) <= 10""",
         # Sorted-Neighborhood blocking: window-5-neighbor pairs over the
         # (p_name, p_partkey) total sort order — engine side is one range
         # sort + boundary-chained block map, never a rank self-join

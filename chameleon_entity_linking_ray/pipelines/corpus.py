@@ -1527,3 +1527,65 @@ def rerank_bm25(sf_dir: str, k_retrieve: int = 50,
         return df_[["query_id", "doc_id", "bm25", "jac", "rerank", "rnk"]]
 
     return out.map_batches(shape, batch_format="pandas")
+
+
+def damerau_pairs(sf_dir: str, cap: int = 10,
+                  num_buckets: int = 32) -> Dataset:
+    """UNRESTRICTED Damerau-Levenshtein similarity join over part names
+    (same first-token blocking as ``edit_distance_pairs``) — value-pins
+    the batched Lowrance-Wagner transposition DP
+    (stages/scoring.py:damerau_levenshtein_batch) against DuckDB's
+    ``damerau_levenshtein``. Transposition-tolerant edit distance is the
+    classic typo model for record linkage (swapped letters in names),
+    one notch stronger than the flagship scorer's plain Levenshtein.
+    """
+    from chameleon_entity_linking_ray.stages.blocking import _run_pairs
+    from chameleon_entity_linking_ray.stages.scoring import (
+        damerau_levenshtein_batch,
+    )
+
+    part = read_table(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        names = batch.column("p_name").cast(pa.string())
+        tok = pc.list_element(pc.split_pattern(names, " "), 0)
+        h = hash64(np.asarray(tok.to_pylist(), dtype=object))
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "p_name": names,
+            "tok": tok,
+            "bucket": pa.array((h % np.uint64(num_buckets))
+                               .astype(np.int32), pa.int32()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "part_a": pd.Series(dtype=np.int64),
+            "part_b": pd.Series(dtype=np.int64),
+            "dl": pd.Series(dtype=np.int64)})
+        if len(g) == 0:
+            return out_empty
+        g = g.sort_values(["tok", "p_partkey"], kind="mergesort")
+        _, counts = np.unique(g["tok"].to_numpy(), return_counts=True)
+        li, ri = _run_pairs(counts, window=0, max_block=len(g) + 1)
+        if len(li) == 0:
+            return out_empty
+        keys = g["p_partkey"].to_numpy()
+        names = g["p_name"].to_numpy()
+        a, b = names[li], names[ri]
+        # cheap length prefilter: |len(a)-len(b)| > cap can't pass
+        la = np.fromiter(map(len, a), np.int64, len(a))
+        lb = np.fromiter(map(len, b), np.int64, len(b))
+        ok = np.abs(la - lb) <= cap
+        li, ri, a, b = li[ok], ri[ok], a[ok], b[ok]
+        if len(li) == 0:
+            return out_empty
+        d = damerau_levenshtein_batch(list(a), list(b))
+        keep = d <= cap
+        return pd.DataFrame({
+            "part_a": keys[li[keep]].astype(np.int64),
+            "part_b": keys[ri[keep]].astype(np.int64),
+            "dl": d[keep].astype(np.int64)})
+
+    return part.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")

@@ -347,3 +347,61 @@ class PairScorer:
                 .append_column("text_score", pa.array(text_score, pa.float32()))
                 .append_column("entity_score", pa.array(entity_score, pa.float32()))
                 .append_column("score", pa.array(score, pa.float32())))
+
+
+def damerau_levenshtein_batch(A: list[str], B: list[str]) -> np.ndarray:
+    """Batched UNRESTRICTED Damerau-Levenshtein (Lowrance-Wagner: true
+    transpositions, e.g. dl("ca","abc") = 2 where OSA gives 3) — the
+    same all-pairs-vectorized DP discipline as ``levenshtein_batch``:
+    the (i, j) loops are sequential but every cell op runs over ALL
+    pairs at once. The transposition term d[k-1][l-1] needs random
+    access into earlier rows, so the full (La+2, Lb+2, n) tensor is
+    kept; per-pair last-seen-row state ``da`` is an (n, vocab) matrix
+    over the batch's codepoint vocabulary. Matches DuckDB's
+    ``damerau_levenshtein`` (fuzz-pinned).
+    """
+    n = len(A)
+    if n == 0:
+        return np.empty(0, np.int64)
+    la = np.fromiter(map(len, A), np.int64, n)
+    lb = np.fromiter(map(len, B), np.int64, n)
+    La, Lb = int(la.max()), int(lb.max())
+    if La == 0 or Lb == 0:
+        return (la + lb).astype(np.int64)
+    arr_a = np.frombuffer("".join(a.ljust(La, "\0") for a in A)
+                          .encode("utf-32-le"), np.uint32).reshape(n, La)
+    arr_b = np.frombuffer("".join(b.ljust(Lb, "\1") for b in B)
+                          .encode("utf-32-le"), np.uint32).reshape(n, Lb)
+    # batch codepoint vocabulary -> small ids for the da state matrix
+    vocab, inv = np.unique(np.concatenate([arr_a.ravel(), arr_b.ravel()]),
+                           return_inverse=True)
+    aidx = inv[:n * La].reshape(n, La)
+    bidx = inv[n * La:].reshape(n, Lb)
+    V = len(vocab)
+
+    INF = np.int32(La + Lb + 1)
+    D = np.full((La + 2, Lb + 2, n), INF, np.int32)
+    D[1, 1:, :] = np.arange(Lb + 1, dtype=np.int32)[:, None]
+    D[1:, 1, :] = np.arange(La + 1, dtype=np.int32)[:, None]
+    da = np.zeros((n, V), np.int32)
+    rows = np.arange(n)
+    active_rows = la.astype(np.int32)
+    for i in range(1, La + 1):
+        db = np.zeros(n, np.int32)
+        ca = arr_a[:, i - 1]
+        for j in range(1, Lb + 1):
+            k = da[rows, bidx[:, j - 1]]          # last row of b[j] in a
+            l = db                                 # last matching col
+            match = ca == arr_b[:, j - 1]
+            cost = (~match).astype(np.int32)
+            trans = (D[k, l, rows] + (i - k - 1) + 1
+                     + (j - l - 1)).astype(np.int32)
+            val = np.minimum(
+                np.minimum(D[i, j] + cost, D[i + 1, j] + 1),
+                np.minimum(D[i, j + 1] + 1, trans))
+            D[i + 1, j + 1] = val
+            db = np.where(match, np.int32(j), db)
+        # padding rows must not update last-seen state
+        upd = i <= active_rows
+        da[rows[upd], aidx[upd, i - 1]] = i
+    return D[la + 1, lb + 1, rows].astype(np.int64)

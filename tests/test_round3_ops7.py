@@ -161,3 +161,36 @@ class TestQuickOps:
         # determinism: re-run is identical
         again = weighted_sample("/root/testdata/sf0.001").to_pandas()
         assert sorted(got["o_orderkey"]) == sorted(again["o_orderkey"])
+
+
+class TestDamerauKernel:
+    def test_fuzz_matches_duckdb(self):
+        import duckdb
+        import random
+        from chameleon_entity_linking_ray.stages.scoring import (
+            damerau_levenshtein_batch,
+        )
+        rng = random.Random(13)
+        A, B = [], []
+        for _ in range(600):
+            A.append("".join(rng.choice("abcd")
+                             for _ in range(rng.randint(0, 12))))
+            B.append("".join(rng.choice("abcd")
+                             for _ in range(rng.randint(0, 12))))
+        got = damerau_levenshtein_batch(A, B)
+        df = pd.DataFrame({"a": A, "b": B})
+        exp = duckdb.connect().execute(
+            "select damerau_levenshtein(a,b) from df").df() \
+            .iloc[:, 0].to_numpy()
+        assert (got == exp).all()
+
+    def test_unrestricted_not_osa(self):
+        from chameleon_entity_linking_ray.stages.scoring import (
+            damerau_levenshtein_batch,
+        )
+        # the canonical OSA-vs-DL separator: OSA("ca","abc") = 3, true
+        # Damerau-Levenshtein = 2 (transpose then insert)
+        assert damerau_levenshtein_batch(["ca"], ["abc"])[0] == 2
+        assert damerau_levenshtein_batch(["ab"], ["ba"])[0] == 1
+        assert damerau_levenshtein_batch(["", "xy"], ["abc", ""]) \
+            .tolist() == [3, 2]
