@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": C.edit_distance_pairs,
         "damerau_pairs": C.damerau_pairs,
         "snm_pairs": C.snm_pairs,
+        "soundex_parts": C.soundex_parts,
+        "dedup_parts_snm": C.dedup_parts_snm,
         "embedding_near_dups": C.embedding_near_dups,
         "embedding_near_dups_lsh": C.embedding_near_dups_lsh,
         # --- similarity search / vector pooling ---
@@ -1242,7 +1244,9 @@ def oracle_sql() -> dict[str, str]:
         # value-pins the batched Lowrance-Wagner DP kernel
         "damerau_pairs": """
             WITH p AS (SELECT p_partkey, p_name,
-                              string_split(p_name, ' ')[1] AS tok
+                              array_to_string(
+                                  string_split(p_name, ' ')[1:2],
+                                  ' ') AS tok
                        FROM part)
             SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
                    CAST(damerau_levenshtein(a.p_name, b.p_name)
@@ -1260,6 +1264,53 @@ def oracle_sql() -> dict[str, str]:
                         FROM part)
             SELECT a.id AS left_id, b.id AS right_id
             FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 5""",
+        # simplified-Soundex phonetic key; the adjacent-duplicate collapse
+        # is a LAG-window dedup (RE2 regexp_replace has no backreferences)
+        "soundex_parts": """
+            WITH p AS (SELECT p_partkey,
+                              string_split(p_name, ' ')[1] AS w FROM part),
+            words AS (SELECT DISTINCT w FROM p),
+            m AS (SELECT w, translate(upper(w),
+                      'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                      '01230120022455012623010202') AS d FROM words),
+            ch AS (SELECT w, i, substring(d, i, 1) AS c
+                   FROM m CROSS JOIN generate_series(1, 64) AS g(i)
+                   WHERE i <= length(d)),
+            f AS (SELECT w, i, c,
+                         LAG(c) OVER (PARTITION BY w ORDER BY i) AS prev
+                  FROM ch),
+            coll AS (SELECT w, string_agg(c, '' ORDER BY i) AS coll
+                     FROM f WHERE prev IS NULL OR c != prev GROUP BY w),
+            sdx AS (SELECT w, substring(upper(w), 1, 1) ||
+                        substring(rpad(replace(substring(coll, 2),
+                                               '0', ''), 3, '0'), 1, 3)
+                        AS sdx
+                    FROM coll)
+            SELECT p.p_partkey, p.w AS word, sdx.sdx
+            FROM p JOIN sdx ON sdx.w = p.w""",
+        # end-to-end SNM -> Damerau -> transitive closure dedup: the
+        # value-verified twin of the flagship linkage composition
+        "dedup_parts_snm": """
+            WITH RECURSIVE rk AS (
+                SELECT p_partkey AS id, p_name AS name,
+                       ROW_NUMBER() OVER (ORDER BY p_name,
+                                          p_partkey) AS rn
+                FROM part
+            ), edges AS (
+                SELECT a.id AS a, b.id AS b
+                FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 5
+                WHERE damerau_levenshtein(a.name, b.name) <= 4
+            ), sym AS (
+                SELECT a, b FROM edges
+                UNION SELECT b AS a, a AS b FROM edges
+            ), reach(src, node) AS (
+                SELECT p_partkey, p_partkey FROM part
+                UNION
+                SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+            )
+            SELECT src AS p_partkey, MIN(node) AS cluster_id,
+                   MIN(node) = src AS keep
+            FROM reach GROUP BY src""",
         "embedding_near_dups": """
             SELECT * FROM (
                 SELECT a.vec_id AS left_vec, b.vec_id AS right_vec,

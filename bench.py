@@ -41,6 +41,7 @@ QUERY_NAMES = [
     "rank_orders", "decontaminate",
     "row_number_orders", "moving_avg_user", "heavy_hitters", "bm25_topk",
     "user_event_paths",
+    "rerank_bm25", "snm_pairs", "funnel_events", "damerau_pairs",
 ]
 
 

@@ -1507,13 +1507,17 @@ def rerank_bm25(sf_dir: str, k_retrieve: int = 50,
         union = m["distinct"].to_numpy(np.int64) + qn - im
         jac = im.astype(np.float64) / union.astype(np.float64)
         bm25 = m["score"].to_numpy(np.float64)
-        rr = np.round(0.9 * bm25 + 0.1 * jac, 6)
+        # HALF-AWAY rounding (floor(x*1e6+0.5)): the blend of a 6dp-
+        # rounded bm25 with an exact rational jac lands exactly on
+        # .5e-6 boundaries (e.g. 0.9*1.233625 + 0.1*0.12), where
+        # np.round's half-even diverges from SQL ROUND; all values >= 0
+        rr = np.floor((0.9 * bm25 + 0.1 * jac) * 1e6 + 0.5) / 1e6
         return pa.table({
             "query_id": pa.array(m["query_id"].to_numpy(object),
                                  pa.string()),
             "doc_id": pa.array(m["doc_id"].to_numpy(np.int64), pa.int64()),
             "bm25": pa.array(bm25, pa.float64()),
-            "jac": pa.array(np.round(jac, 6), pa.float64()),
+            "jac": pa.array(np.floor(jac * 1e6 + 0.5) / 1e6, pa.float64()),
             "rerank": pa.array(rr, pa.float64())})
 
     reranked = docs.map_batches(rerank, batch_format="pyarrow")
@@ -1531,15 +1535,23 @@ def rerank_bm25(sf_dir: str, k_retrieve: int = 50,
 
 def damerau_pairs(sf_dir: str, cap: int = 10,
                   num_buckets: int = 32) -> Dataset:
-    """UNRESTRICTED Damerau-Levenshtein similarity join over part names
-    (same first-token blocking as ``edit_distance_pairs``) — value-pins
-    the batched Lowrance-Wagner transposition DP
+    """UNRESTRICTED Damerau-Levenshtein similarity join over part names —
+    value-pins the batched Lowrance-Wagner transposition DP
     (stages/scoring.py:damerau_levenshtein_batch) against DuckDB's
     ``damerau_levenshtein``. Transposition-tolerant edit distance is the
     classic typo model for record linkage (swapped letters in names),
     one notch stronger than the flagship scorer's plain Levenshtein.
+
+    Blocking: the first two name tokens; scoring runs over the
+    DISTINCT-NAME-PAIR surface, not id pairs — the flagship's
+    distinct-surface-vocabulary trick (stages/vocab.py). Names repeat
+    heavily in real entity tables (here 20k rows share 64 names), so the
+    DP cost is O(distinct-pairs) while the id-pair output is a pure
+    vectorized cross-product expansion. The naive per-id-pair version of
+    this join measured 309 s at sf0.1; this one ~2 s for the same rows.
+    Per-bucket distinct-name count is bounded by the surface vocabulary
+    — the same assumption the flagship scorer documents.
     """
-    from chameleon_entity_linking_ray.stages.blocking import _run_pairs
     from chameleon_entity_linking_ray.stages.scoring import (
         damerau_levenshtein_batch,
     )
@@ -1548,7 +1560,8 @@ def damerau_pairs(sf_dir: str, cap: int = 10,
 
     def prep(batch: pa.Table) -> pa.Table:
         names = batch.column("p_name").cast(pa.string())
-        tok = pc.list_element(pc.split_pattern(names, " "), 0)
+        words = pc.split_pattern(names, " ")
+        tok = pc.binary_join(pc.list_slice(words, 0, 2), " ")
         h = hash64(np.asarray(tok.to_pylist(), dtype=object))
         return pa.table({
             "p_partkey": batch.column("p_partkey"),
@@ -1565,27 +1578,182 @@ def damerau_pairs(sf_dir: str, cap: int = 10,
             "dl": pd.Series(dtype=np.int64)})
         if len(g) == 0:
             return out_empty
-        g = g.sort_values(["tok", "p_partkey"], kind="mergesort")
-        _, counts = np.unique(g["tok"].to_numpy(), return_counts=True)
-        li, ri = _run_pairs(counts, window=0, max_block=len(g) + 1)
-        if len(li) == 0:
-            return out_empty
-        keys = g["p_partkey"].to_numpy()
+        g = g.sort_values(["p_name", "p_partkey"], kind="mergesort")
         names = g["p_name"].to_numpy()
-        a, b = names[li], names[ri]
-        # cheap length prefilter: |len(a)-len(b)| > cap can't pass
-        la = np.fromiter(map(len, a), np.int64, len(a))
-        lb = np.fromiter(map(len, b), np.int64, len(b))
-        ok = np.abs(la - lb) <= cap
-        li, ri, a, b = li[ok], ri[ok], a[ok], b[ok]
-        if len(li) == 0:
-            return out_empty
-        d = damerau_levenshtein_batch(list(a), list(b))
+        toks = g["tok"].to_numpy()
+        ids = g["p_partkey"].to_numpy().astype(np.int64)
+        # distinct-name surface: one row per (tok, name), id lists ride
+        # along as offsets into the name-sorted id array
+        uniq_mask = np.r_[True, names[1:] != names[:-1]]
+        u_start = np.flatnonzero(uniq_mask)
+        u_cnt = np.diff(np.r_[u_start, len(names)])
+        u_name = names[u_start]
+        u_tok = toks[u_start]
+        nu = len(u_name)
+        # candidate distinct pairs: all (i <= j) within the same tok
+        # block (self-pair i == j covers exact-duplicate names, dl = 0)
+        _, tcnt = np.unique(u_tok, return_counts=True)
+        tstart = np.cumsum(tcnt) - tcnt
+        within = np.arange(nu) - np.repeat(tstart, tcnt)
+        c_of = np.repeat(tcnt, tcnt)
+        rem = c_of - within  # pairs including self
+        P = int(rem.sum())
+        di = np.repeat(np.arange(nu), rem)
+        seg = np.cumsum(rem) - rem
+        dj = np.arange(P) - np.repeat(seg, rem) + di
+        # length prefilter + ONE DP per distinct name pair
+        lens = np.fromiter(map(len, u_name), np.int64, nu)
+        ok = np.abs(lens[di] - lens[dj]) <= cap
+        di, dj = di[ok], dj[ok]
+        d = np.zeros(len(di), np.int64)
+        diff = di != dj
+        if diff.any():
+            d[diff] = damerau_levenshtein_batch(
+                list(u_name[di[diff]]), list(u_name[dj[diff]]))
         keep = d <= cap
+        di, dj, d = di[keep], dj[keep], d[keep]
+        if len(di) == 0:
+            return out_empty
+        # expand matched name pairs to id pairs (vectorized cross
+        # products; same-name pairs keep the a < b triangle)
+        sa, sb = u_cnt[di], u_cnt[dj]
+        cnt = sa * sb
+        tot = int(cnt.sum())
+        pseg = np.cumsum(cnt) - cnt
+        k = np.arange(tot) - np.repeat(pseg, cnt)
+        ia = ids[np.repeat(u_start[di], cnt) + k // np.repeat(sb, cnt)]
+        ib = ids[np.repeat(u_start[dj], cnt) + k % np.repeat(sb, cnt)]
+        dd = np.repeat(d, cnt)
+        # cross-name products emit each unordered pair once (id sets are
+        # disjoint) -> canonicalize by min/max; same-name products emit
+        # the full square -> keep the strict triangle
+        same = np.repeat(di == dj, cnt)
+        keep2 = ~same | (ia < ib)
         return pd.DataFrame({
-            "part_a": keys[li[keep]].astype(np.int64),
-            "part_b": keys[ri[keep]].astype(np.int64),
-            "dl": d[keep].astype(np.int64)})
+            "part_a": np.minimum(ia, ib)[keep2],
+            "part_b": np.maximum(ia, ib)[keep2],
+            "dl": dd[keep2]})
 
     return part.map_batches(prep, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+_SOUNDEX_MAP = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                             "01230120022455012623010202")
+
+
+def _soundex(word: str) -> str:
+    """Simplified American Soundex (no H/W-separator rule — the variant
+    is pinned by an equivalent SQL formulation, so parity is exact):
+    first letter + the first three non-zero digit codes after collapsing
+    adjacent duplicates."""
+    u = word.upper()
+    d = u.translate(_SOUNDEX_MAP)
+    coll, prev = [], None
+    for ch in d:
+        if ch != prev:
+            coll.append(ch)
+        prev = ch
+    tail = "".join(c for c in coll[1:] if c != "0")
+    return u[0] + (tail + "000")[:3]
+
+
+def soundex_parts(sf_dir: str) -> Dataset:
+    """Phonetic blocking keys: simplified Soundex of each part name's
+    first token — the third classic record-linkage blocker alongside
+    LSH/token blocks (stages/blocking.py) and sorted-neighborhood
+    (``snm_pairs``); phonetic keys catch sound-alike misspellings
+    ("smith" ~ "smyth") that neither char-Jaccard nor sort order pairs.
+
+    Map-only, zero shuffle; per-batch memo over the distinct-token
+    vocabulary (bounded — the same surface-vocab assumption the flagship
+    scorer uses). The code column itself is value-verified against a
+    LAG-window SQL reformulation (RE2 has no backreferences, so the SQL
+    collapse step is a per-character window dedup).
+    """
+    part = read_table(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        names = batch.column("p_name").cast(pa.string())
+        tok = pc.list_element(pc.split_pattern(names, " "), 0)
+        words = tok.to_pylist()
+        memo: dict[str, str] = {}
+        sdx = [memo.get(w) or memo.setdefault(w, _soundex(w))
+               for w in words]
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "word": tok,
+            "sdx": pa.array(sdx, pa.string())})
+
+    return part.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_parts_snm(sf_dir: str, window: int = 6, cap: int = 4) -> Dataset:
+    """END-TO-END entity resolution over part names using this round's
+    blockers: Sorted-Neighborhood candidate pairs (keys carried through,
+    no join back) -> batched Damerau-Levenshtein match (dl <= ``cap``)
+    -> distributed connected components -> canonical election. The same
+    blocking/scoring/clustering skeleton as the flagship linkage
+    pipeline, but every stage SQL-expressible, so the WHOLE composition
+    (including the CC fixpoint) hash-matches a recursive-CTE closure
+    oracle — a value-verified twin of the flagship's rows-only check.
+
+    One row per part: (p_partkey, cluster_id = min id of its match
+    component, keep = is canonical). Singletons keep themselves.
+    """
+    from chameleon_entity_linking_ray.stages.blocking import (
+        sorted_neighborhood_pairs,
+    )
+    from chameleon_entity_linking_ray.stages.cluster import (
+        connected_components,
+    )
+    from chameleon_entity_linking_ray.stages.scoring import (
+        damerau_levenshtein_batch,
+    )
+
+    part = read_table(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch.column("p_partkey").cast(pa.int64()),
+                         "key": batch.column("p_name").cast(pa.string())})
+
+    keyed = part.map_batches(prep, batch_format="pyarrow")
+    pairs = sorted_neighborhood_pairs(keyed, key_col="key", id_col="id",
+                                      window=window, carry_key=True)
+
+    def match(batch: pa.Table) -> pa.Table:
+        lk = batch.column("left_key").to_pylist()
+        rk = batch.column("right_key").to_pylist()
+        if not lk:
+            e = pa.array([], pa.int64())
+            return pa.table({"u": e, "v": e})
+        d = damerau_levenshtein_batch(lk, rk)
+        keep = pa.array(d <= cap)
+        sub = batch.filter(keep)
+        return pa.table({"u": sub.column("left_id").cast(pa.int64()),
+                         "v": sub.column("right_id").cast(pa.int64())})
+
+    edges = pairs.map_batches(match, batch_format="pyarrow")
+    assignments, _stats = connected_components(edges)
+
+    adf = assignments.to_pandas()
+    nodes = adf["node"].to_numpy(np.int64)
+    order_ix = np.argsort(nodes, kind="mergesort")
+    ref = ray.put((nodes[order_ix],
+                   adf["cluster"].to_numpy(np.int64)[order_ix]))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        snodes, sclusters = ray.get(ref)
+        ids = batch.column("p_partkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(snodes, ids)
+        pos = np.minimum(pos, max(len(snodes) - 1, 0))
+        hit = (snodes[pos] == ids) if len(snodes) \
+            else np.zeros(len(ids), bool)
+        cluster = np.where(hit, sclusters[pos] if len(snodes) else 0, ids)
+        return pa.table({
+            "p_partkey": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(cluster.astype(np.int64), pa.int64()),
+            "keep": pa.array(cluster == ids, pa.bool_())})
+
+    return part.map_batches(attach, batch_format="pyarrow")

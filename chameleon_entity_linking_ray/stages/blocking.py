@@ -168,6 +168,10 @@ def _snm_tail(prev_tail: pa.Table, block: pa.Table, n: int) -> pa.Table:
     """Last ``n`` rows of concat(prev_tail, block) — the boundary rows the
     NEXT sorted block needs. O(window) rows; chained block-to-block so the
     sorted table never round-trips through the driver."""
+    # empty sort blocks can arrive with an EMPTY schema (Ray Data drops
+    # column metadata on zero-row blocks) — skip them
+    if block.num_rows == 0:
+        return prev_tail
     t = block if prev_tail is None else \
         pa.concat_tables([prev_tail, block]).combine_chunks()
     return t.slice(max(0, t.num_rows - n))
@@ -175,35 +179,54 @@ def _snm_tail(prev_tail: pa.Table, block: pa.Table, n: int) -> pa.Table:
 
 @ray.remote
 def _snm_window_pairs(prev_tail: pa.Table, block: pa.Table, window: int,
-                      id_col: str) -> pa.Table:
+                      id_col: str, key_col: str, carry_key: bool) -> pa.Table:
     """Emit (left_id, right_id) for every row j of ``block`` paired with
     its ``window - 1`` predecessors in global sort order (prev_tail carries
     the cross-block predecessors). Pure vectorized ragged-arange — no
-    Python loop over rows."""
+    Python loop over rows. With ``carry_key`` the sort key rides along as
+    (left_key, right_key) so scorers need no join back (SURVEY.md M10)."""
+    if block.num_rows == 0:
+        # zero-row blocks may carry an empty schema; emit a typed empty
+        src = prev_tail if (prev_tail is not None
+                            and id_col in prev_tail.schema.names) else None
+        idt = src.schema.field(id_col).type if src is not None else pa.int64()
+        kt = src.schema.field(key_col).type if src is not None \
+            else pa.string()
+        cols = {"left_id": pa.array([], idt), "right_id": pa.array([], idt)}
+        if carry_key:
+            cols["left_key"] = pa.array([], kt)
+            cols["right_key"] = pa.array([], kt)
+        return pa.table(cols)
     if prev_tail is None:
         t, n_prev = block, 0
     else:
         t = pa.concat_tables([prev_tail, block]).combine_chunks()
         n_prev = prev_tail.num_rows
     ids = t.column(id_col)
+    keys = t.column(key_col)
     total = t.num_rows
     j = np.arange(n_prev, total, dtype=np.int64)
     c = np.minimum(window - 1, j)
     npairs = int(c.sum())
-    empty = pa.array([], pa.int64())
     if npairs == 0:
-        return pa.table({"left_id": ids.take(empty), "right_id": ids.take(empty)})
-    jj = np.repeat(j, c)
-    seg = np.zeros(len(j), np.int64)
-    seg[1:] = np.cumsum(c)[:-1]
-    k = np.arange(npairs, dtype=np.int64) - np.repeat(seg, c)
-    ii = jj - np.repeat(c, c) + k
-    return pa.table({"left_id": ids.take(pa.array(ii)),
-                     "right_id": ids.take(pa.array(jj))})
+        ii = jj = pa.array([], pa.int64())
+    else:
+        jj_np = np.repeat(j, c)
+        seg = np.zeros(len(j), np.int64)
+        seg[1:] = np.cumsum(c)[:-1]
+        k = np.arange(npairs, dtype=np.int64) - np.repeat(seg, c)
+        ii = pa.array(jj_np - np.repeat(c, c) + k)
+        jj = pa.array(jj_np)
+    cols = {"left_id": ids.take(ii), "right_id": ids.take(jj)}
+    if carry_key:
+        cols["left_key"] = keys.take(ii)
+        cols["right_key"] = keys.take(jj)
+    return pa.table(cols)
 
 
 def sorted_neighborhood_pairs(ds: Dataset, key_col: str, id_col: str,
-                              window: int = 5) -> Dataset:
+                              window: int = 5,
+                              carry_key: bool = False) -> Dataset:
     """Sorted-Neighborhood Method blocking (Hernandez & Stolfo, SIGMOD'95):
     sort records by a blocking key, slide a ``window``-row window over the
     global sort order, emit every in-window candidate pair. The classic
@@ -234,7 +257,8 @@ def sorted_neighborhood_pairs(ds: Dataset, key_col: str, id_col: str,
     prev = None  # first block has no cross-block predecessors
     pair_refs = []
     for r in refs:
-        pair_refs.append(_snm_window_pairs.remote(prev, r, window, id_col))
+        pair_refs.append(_snm_window_pairs.remote(prev, r, window, id_col,
+                                                  key_col, carry_key))
         prev = _snm_tail.remote(prev, r, window - 1)
     return ray.data.from_arrow_refs(pair_refs)
 

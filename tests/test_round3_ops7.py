@@ -194,3 +194,43 @@ class TestDamerauKernel:
         assert damerau_levenshtein_batch(["ab"], ["ba"])[0] == 1
         assert damerau_levenshtein_batch(["", "xy"], ["abc", ""]) \
             .tolist() == [3, 2]
+
+
+class TestSoundex:
+    def test_known_codes(self):
+        from chameleon_entity_linking_ray.pipelines.corpus import _soundex
+        # classic Soundex fixtures (simplified variant, no H/W rule)
+        assert _soundex("robert") == "R163"
+        assert _soundex("rupert") == "R163"
+        assert _soundex("smith") == _soundex("smyth") == "S530"
+        assert _soundex("blue") == "B400"
+        assert _soundex("a") == "A000"
+
+    def test_collapse_before_zero_drop(self):
+        from chameleon_entity_linking_ray.pipelines.corpus import _soundex
+        # 'small': S,M,A,L,L -> 25044 -> collapse 2504 -> drop 0 -> S540
+        # (zero-drop-first would give S544)
+        assert _soundex("small") == "S540"
+
+
+class TestDedupPartsSnm:
+    def test_clusters_are_transitive_closure(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.corpus import (
+            dedup_parts_snm,
+        )
+        # planted near-duplicate chain: a ~ b ~ c (each within dl<=4 of
+        # its sort neighbor) plus isolated names
+        names = ["anchor steel rod", "anchor steel rd", "anchor steel r",
+                 "copper wire", "zinc plate", "zinc plates"]
+        df = pd.DataFrame({"p_partkey": np.arange(len(names),
+                                                  dtype=np.int64),
+                           "p_name": names})
+        d = tmp_path / "sf"
+        d.mkdir()
+        df.to_parquet(d / "part.parquet")
+        got = dedup_parts_snm(str(d), window=3, cap=4).to_pandas() \
+            .sort_values("p_partkey").reset_index(drop=True)
+        # chain 0-1-2 collapses to min id 0; zinc pair to 4
+        assert got["cluster_id"].tolist() == [0, 0, 0, 3, 4, 4]
+        assert got["keep"].tolist() == [True, False, False, True, True,
+                                        False]
