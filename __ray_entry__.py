@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "edit_distance_pairs": C.edit_distance_pairs,
         "damerau_pairs": C.damerau_pairs,
+        "jw_name_pairs": C.jw_name_pairs,
         "snm_pairs": C.snm_pairs,
         "soundex_parts": C.soundex_parts,
         "dedup_parts_snm": C.dedup_parts_snm,
@@ -1254,6 +1255,17 @@ def oracle_sql() -> dict[str, str]:
             FROM p a JOIN p b ON a.tok = b.tok
               AND a.p_partkey < b.p_partkey
             WHERE damerau_levenshtein(a.p_name, b.p_name) <= 10""",
+        # Jaro-Winkler over the distinct-name surface; the engine kernel
+        # is bit-equal to DuckDB's builtin, so the raw doubles hash-match
+        "jw_name_pairs": """
+            WITH d AS (SELECT DISTINCT p_name FROM part),
+            p AS (SELECT p_name,
+                         string_split(p_name, ' ')[1] AS tok
+                  FROM d)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+            FROM p a JOIN p b ON a.tok = b.tok AND a.p_name < b.p_name
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85""",
         # Sorted-Neighborhood blocking: window-5-neighbor pairs over the
         # (p_name, p_partkey) total sort order — engine side is one range
         # sort + boundary-chained block map, never a rank self-join

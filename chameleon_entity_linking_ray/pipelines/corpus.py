@@ -1757,3 +1757,58 @@ def dedup_parts_snm(sf_dir: str, window: int = 6, cap: int = 4) -> Dataset:
             "keep": pa.array(cluster == ids, pa.bool_())})
 
     return part.map_batches(attach, batch_format="pyarrow")
+
+
+def jw_name_pairs(sf_dir: str, threshold: float = 0.85,
+                  num_buckets: int = 32) -> Dataset:
+    """Jaro-Winkler similarity join over the DISTINCT part-name surface
+    (two-token blocking): the third string-similarity kernel next to
+    Levenshtein and Damerau-Levenshtein, and the one designed for names
+    (Winkler's prefix boost). The engine kernel
+    (stages/scoring.py:jaro_winkler_batch) is BIT-EQUAL to DuckDB's
+    ``jaro_winkler_similarity``, so the emitted doubles hash-match with
+    no rounding at all. Output is surface-level (name_a < name_b, jw) —
+    expanding to id pairs is the same vectorized cross-product
+    ``damerau_pairs`` uses.
+    """
+    from chameleon_entity_linking_ray.stages.agg import distinct
+    from chameleon_entity_linking_ray.stages.blocking import _run_pairs
+    from chameleon_entity_linking_ray.stages.scoring import (
+        jaro_winkler_batch,
+    )
+
+    names_ds = distinct(read_table(sf_dir, "part", ["p_name"]), ["p_name"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        names = batch.column("p_name").cast(pa.string())
+        # ONE-token blocking: the distinct-name surface is vocabulary-
+        # bounded, so block growth is bounded too (unlike the id-level
+        # joins, where damerau_pairs needs the two-token key)
+        tok = pc.list_element(pc.split_pattern(names, " "), 0)
+        h = hash64(np.asarray(tok.to_pylist(), dtype=object))
+        return pa.table({
+            "p_name": names, "tok": tok,
+            "bucket": pa.array((h % np.uint64(num_buckets))
+                               .astype(np.int32), pa.int32())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({
+            "name_a": pd.Series(dtype=object),
+            "name_b": pd.Series(dtype=object),
+            "jw": pd.Series(dtype=np.float64)})
+        if len(g) == 0:
+            return out_empty
+        g = g.sort_values(["tok", "p_name"], kind="mergesort")
+        _, counts = np.unique(g["tok"].to_numpy(), return_counts=True)
+        li, ri = _run_pairs(counts, window=0, max_block=len(g) + 1)
+        if len(li) == 0:
+            return out_empty
+        names = g["p_name"].to_numpy()
+        a, b = names[li], names[ri]  # a < b: name-sorted within block
+        jw = jaro_winkler_batch(list(a), list(b))
+        keep = jw >= threshold
+        return pd.DataFrame({"name_a": a[keep], "name_b": b[keep],
+                             "jw": jw[keep]})
+
+    return names_ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")

@@ -234,3 +234,38 @@ class TestDedupPartsSnm:
         assert got["cluster_id"].tolist() == [0, 0, 0, 3, 4, 4]
         assert got["keep"].tolist() == [True, False, False, True, True,
                                         False]
+
+
+class TestJaroWinklerKernel:
+    def test_fuzz_bit_equal_to_duckdb(self):
+        import duckdb
+        import random
+        from chameleon_entity_linking_ray.stages.scoring import (
+            jaro_winkler_batch,
+        )
+        rng = random.Random(11)
+        A, B = [], []
+        for _ in range(3000):
+            A.append("".join(rng.choice("abcde")
+                             for _ in range(rng.randint(0, 10))))
+            B.append("".join(rng.choice("abcde")
+                             for _ in range(rng.randint(0, 10))))
+        A += ["", "a", "", "hello", "martha", "dixon"]
+        B += ["", "", "b", "hello", "marhta", "dicksonx"]
+        got = jaro_winkler_batch(A, B)
+        df = pd.DataFrame({"a": A, "b": B})
+        exp = duckdb.connect().execute(
+            "select jaro_winkler_similarity(a,b) from df").df() \
+            .iloc[:, 0].to_numpy()
+        # BIT equality, not allclose — the oracle hashes raw doubles
+        assert (got == exp).all()
+
+    def test_conventions(self):
+        from chameleon_entity_linking_ray.stages.scoring import (
+            jaro_winkler_batch,
+        )
+        got = jaro_winkler_batch(["", "abc", "martha"],
+                                 ["", "abc", "marhta"])
+        assert got[0] == 0.0          # empty-empty scores 0 (DuckDB)
+        assert got[1] == 1.0
+        assert abs(got[2] - 0.9611111111111111) < 1e-15  # classic fixture
