@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs": C.snm_pairs,
         "soundex_parts": C.soundex_parts,
         "dedup_parts_snm": C.dedup_parts_snm,
+        "clustering_eval": C.clustering_eval,
         "embedding_near_dups": C.embedding_near_dups,
         "embedding_near_dups_lsh": C.embedding_near_dups_lsh,
         # --- similarity search / vector pooling ---
@@ -1323,6 +1324,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS p_partkey, MIN(node) AS cluster_id,
                    MIN(node) = src AS keep
             FROM reach GROUP BY src""",
+        # pairwise P/R/F1 of the SNM dedup vs the exact-name partition —
+        # the north-rule clustering metric; pairs_* exact ints, P/R/F1
+        # single float divisions written identically on both engines
+        "clustering_eval": """
+            WITH RECURSIVE rk AS (
+                SELECT p_partkey AS id, p_name AS name,
+                       ROW_NUMBER() OVER (ORDER BY p_name,
+                                          p_partkey) AS rn
+                FROM part
+            ), edges AS (
+                SELECT a.id AS a, b.id AS b
+                FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 5
+                WHERE damerau_levenshtein(a.name, b.name) <= 4
+            ), sym AS (
+                SELECT a, b FROM edges
+                UNION SELECT b AS a, a AS b FROM edges
+            ), reach(src, node) AS (
+                SELECT p_partkey, p_partkey FROM part
+                UNION
+                SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+            ), assign AS (
+                SELECT src AS p_partkey, MIN(node) AS cluster_id
+                FROM reach GROUP BY src
+            ), cont AS (
+                SELECT a.cluster_id, p.p_name AS truth,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM assign a JOIN part p USING (p_partkey)
+                GROUP BY a.cluster_id, p.p_name
+            ), stats AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+                       CAST((SELECT SUM(s*(s-1)//2) FROM (
+                           SELECT SUM(n) AS s FROM cont
+                           GROUP BY cluster_id)) AS BIGINT) AS pairs_pred,
+                       CAST((SELECT SUM(s*(s-1)//2) FROM (
+                           SELECT SUM(n) AS s FROM cont
+                           GROUP BY truth)) AS BIGINT) AS pairs_true,
+                       CAST(SUM(n*(n-1)//2) AS BIGINT) AS pairs_both
+                FROM cont
+            )
+            SELECT n_items, pairs_pred, pairs_true, pairs_both,
+                   CASE WHEN pairs_pred > 0
+                        THEN CAST(pairs_both AS DOUBLE) / pairs_pred
+                        ELSE 0.0 END AS "precision",
+                   CASE WHEN pairs_true > 0
+                        THEN CAST(pairs_both AS DOUBLE) / pairs_true
+                        ELSE 0.0 END AS recall,
+                   CASE WHEN pairs_pred > 0 AND pairs_true > 0
+                         AND (CAST(pairs_both AS DOUBLE) / pairs_pred
+                              + CAST(pairs_both AS DOUBLE) / pairs_true)
+                             > 0.0
+                        THEN 2.0 * (CAST(pairs_both AS DOUBLE) / pairs_pred)
+                             * (CAST(pairs_both AS DOUBLE) / pairs_true)
+                             / (CAST(pairs_both AS DOUBLE) / pairs_pred
+                                + CAST(pairs_both AS DOUBLE) / pairs_true)
+                        ELSE 0.0 END AS f1
+            FROM stats""",
         "embedding_near_dups": """
             SELECT * FROM (
                 SELECT a.vec_id AS left_vec, b.vec_id AS right_vec,

@@ -1812,3 +1812,72 @@ def jw_name_pairs(sf_dir: str, threshold: float = 0.85,
 
     return names_ds.map_batches(prep, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+@ray.remote
+def _pair_f1(*blocks) -> pa.Table:
+    """Fold (cluster_id, truth, n) contingency blocks into pairwise
+    precision/recall/F1 — the north-rule clustering metric. The
+    contingency table is O(clusters x truth-groups), tiny by the time it
+    reaches this task; the corpus never leaves the combiner stage."""
+    tabs = [b if isinstance(b, pa.Table)
+            else pa.Table.from_pandas(b, preserve_index=False)
+            for b in blocks]
+    tabs = [t for t in tabs if t.num_rows > 0]
+    if not tabs:
+        df = pd.DataFrame({"cluster_id": [], "truth": [], "n": []})
+    else:
+        df = pa.concat_tables(tabs).combine_chunks().to_pandas()
+    n = df["n"].to_numpy(np.int64) if len(df) else np.empty(0, np.int64)
+
+    def pairs(sizes: np.ndarray) -> int:
+        return int((sizes * (sizes - 1) // 2).sum())
+
+    both = pairs(n)
+    pred = pairs(df.groupby("cluster_id")["n"].sum().to_numpy(np.int64)) \
+        if len(df) else 0
+    true = pairs(df.groupby("truth")["n"].sum().to_numpy(np.int64)) \
+        if len(df) else 0
+    # float expressions written identically in the SQL oracle
+    p = both / pred if pred else 0.0
+    r = both / true if true else 0.0
+    f1 = 2.0 * p * r / (p + r) if (p + r) > 0.0 else 0.0
+    return pa.table({
+        "n_items": pa.array([int(n.sum())], pa.int64()),
+        "pairs_pred": pa.array([pred], pa.int64()),
+        "pairs_true": pa.array([true], pa.int64()),
+        "pairs_both": pa.array([both], pa.int64()),
+        "precision": pa.array([p], pa.float64()),
+        "recall": pa.array([r], pa.float64()),
+        "f1": pa.array([f1], pa.float64())})
+
+
+def clustering_eval(sf_dir: str, window: int = 6, cap: int = 4) -> Dataset:
+    """Pairwise precision/recall/F1 of the SNM->Damerau->CC dedup
+    (``dedup_parts_snm``) against the exact-name partition as reference
+    labels — the north rule's clustering metric as an ENGINE OPERATOR,
+    not just a test harness: one bucketed contingency aggregate
+    (cluster_id x truth label, combiner form), then O(groups) arithmetic
+    in a worker task. pairs_* are exact integers; P/R/F1 single float
+    divisions, so the whole row hash-matches SQL.
+    """
+    from chameleon_entity_linking_ray.stages.agg import grouped_agg
+    from chameleon_entity_linking_ray.stages.joins import (
+        broadcast_hash_join,
+    )
+
+    assigned = dedup_parts_snm(sf_dir, window=window, cap=cap)
+    names = read_table(sf_dir, "part", ["p_partkey", "p_name"])
+    j = broadcast_hash_join(assigned, names, on=("p_partkey",),
+                            right_on=("p_partkey",), join_type="inner")
+    joint = grouped_agg(j, keys=["cluster_id", "p_name"],
+                        aggs={"n": (None, "count")})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"cluster_id": batch.column("cluster_id"),
+                         "truth": batch.column("p_name"),
+                         "n": batch.column("n")})
+
+    cont = joint.map_batches(rename, batch_format="pyarrow")
+    out = _pair_f1.remote(*cont.to_arrow_refs())
+    return ray.data.from_arrow_refs([out])

@@ -269,3 +269,28 @@ class TestJaroWinklerKernel:
         assert got[0] == 0.0          # empty-empty scores 0 (DuckDB)
         assert got[1] == 1.0
         assert abs(got[2] - 0.9611111111111111) < 1e-15  # classic fixture
+
+
+class TestClusteringEval:
+    def test_perfect_and_zero_f1(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.corpus import (
+            clustering_eval,
+        )
+        # exact duplicates only, tight cap: predicted == truth -> F1 = 1
+        d1 = tmp_path / "sf1"
+        d1.mkdir()
+        pd.DataFrame({"p_partkey": np.arange(4, dtype=np.int64),
+                      "p_name": ["aa", "aa", "bb", "bb"]}) \
+            .to_parquet(d1 / "part.parquet")
+        r = clustering_eval(str(d1), window=2, cap=1).to_pandas().iloc[0]
+        assert r["pairs_pred"] == r["pairs_true"] == r["pairs_both"] == 2
+        assert r["precision"] == r["recall"] == r["f1"] == 1.0
+        # all-distinct names merged by a loose cap: truth has no pairs
+        d2 = tmp_path / "sf2"
+        d2.mkdir()
+        pd.DataFrame({"p_partkey": np.arange(3, dtype=np.int64),
+                      "p_name": ["aaa", "aab", "aac"]}) \
+            .to_parquet(d2 / "part.parquet")
+        r2 = clustering_eval(str(d2), window=3, cap=2).to_pandas().iloc[0]
+        assert r2["pairs_true"] == 0 and r2["recall"] == 0.0
+        assert r2["f1"] == 0.0
