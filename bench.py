@@ -42,6 +42,7 @@ QUERY_NAMES = [
     "row_number_orders", "moving_avg_user", "heavy_hitters", "bm25_topk",
     "user_event_paths",
     "rerank_bm25", "snm_pairs", "funnel_events", "damerau_pairs",
+    "jw_name_pairs", "dedup_parts_snm",
 ]
 
 
