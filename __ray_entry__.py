@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_revenue": A.pivot_revenue,
         "unpivot_revenue": A.unpivot_revenue,
         "histogram_orders": A.histogram_orders,
+        "outlier_events": A.outlier_events,
         "row_number_orders": A.row_number_orders,
         "user_gaps": A.user_gaps,
         "segment_stats": A.segment_stats,
@@ -224,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soundex_parts": C.soundex_parts,
         "dedup_parts_snm": C.dedup_parts_snm,
         "clustering_eval": C.clustering_eval,
+        "blocking_stats": C.blocking_stats,
         "embedding_near_dups": C.embedding_near_dups,
         "embedding_near_dups_lsh": C.embedding_near_dups_lsh,
         # --- similarity search / vector pooling ---
@@ -590,6 +592,20 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT CAST(trunc(o_totalprice*100) AS BIGINT)
                          // 5000000 AS bucket FROM orders)
             GROUP BY bucket""",
+        # Tukey 1.5*IQR outlier filter: PERCENTILE_DISC fences (int q1/q3
+        # + exact 1.5x float), bit-identical boundary compares
+        "outlier_events": """
+            WITH o AS (SELECT event_id,
+                              CAST(trunc(value*100) AS BIGINT) AS total_c
+                       FROM events WHERE value IS NOT NULL),
+            q AS (SELECT percentile_disc(0.25) WITHIN GROUP
+                             (ORDER BY total_c) AS q1,
+                         percentile_disc(0.75) WITHIN GROUP
+                             (ORDER BY total_c) AS q3
+                  FROM o)
+            SELECT event_id, total_c FROM o, q
+            WHERE total_c < q1 - 1.5 * (q3 - q1)
+               OR total_c > q3 + 1.5 * (q3 - q1)""",
         # global CDF: tie-deterministic CUME_DIST; int/int division is
         # bit-identical IEEE double on both engines
         "cume_dist_orders": """
@@ -1380,6 +1396,36 @@ def oracle_sql() -> dict[str, str]:
                                 + CAST(pairs_both AS DOUBLE) / pairs_true)
                         ELSE 0.0 END AS f1
             FROM stats""",
+        # blocking-quality metrics for the SNM blocker: reduction ratio
+        # + pairs completeness vs the exact-name truth partition
+        "blocking_stats": """
+            WITH rk AS (SELECT p_partkey AS id, p_name AS name,
+                               ROW_NUMBER() OVER (ORDER BY p_name,
+                                                  p_partkey) AS rn
+                        FROM part),
+            cand AS (SELECT a.name AS na, b.name AS nb
+                     FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 5),
+            nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part),
+            tp AS (SELECT CAST(COALESCE(SUM(c*(c-1)//2), 0) AS BIGINT)
+                       AS true_pairs
+                   FROM (SELECT COUNT(*) AS c FROM part
+                         GROUP BY p_name)),
+            cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS cand_pairs,
+                          CAST(COALESCE(SUM(CASE WHEN na = nb THEN 1
+                                            ELSE 0 END), 0) AS BIGINT)
+                              AS covered
+                   FROM cand)
+            SELECT n AS n_records,
+                   CAST(n*(n-1)//2 AS BIGINT) AS total_pairs,
+                   cand_pairs, covered AS covered_pairs, true_pairs,
+                   CASE WHEN n*(n-1)//2 > 0
+                        THEN 1.0 - CAST(cand_pairs AS DOUBLE)
+                                   / CAST(n*(n-1)//2 AS BIGINT)
+                        ELSE 0.0 END AS reduction_ratio,
+                   CASE WHEN true_pairs > 0
+                        THEN CAST(covered AS DOUBLE) / true_pairs
+                        ELSE 0.0 END AS pairs_completeness
+            FROM nc, tp, cs""",
         "embedding_near_dups": """
             SELECT * FROM (
                 SELECT a.vec_id AS left_vec, b.vec_id AS right_vec,

@@ -1678,3 +1678,61 @@ def unpivot_revenue(sf_dir: str) -> Dataset:
             "revenue_c": pa.array(vals.reshape(-1), pa.int64())})
 
     return wide.map_batches(melt, batch_format="pyarrow")
+
+
+@ray.remote
+def _iqr_bounds(*blocks) -> tuple[float, float]:
+    """Fold (total_c, n) value-count blocks into Tukey fences
+    (q1 - 1.5*IQR, q3 + 1.5*IQR); PERCENTILE_DISC convention = min value
+    whose cumulative count reaches q*n, the same boundary compare
+    ``segment_percentiles`` pins against DuckDB."""
+    frames = []
+    for b in blocks:
+        t = (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+        if t.num_rows:
+            frames.append(t.select(["total_c", "n"]).to_pandas())
+    df = pd.concat(frames) if frames else \
+        pd.DataFrame({"total_c": [], "n": []})
+    df = df.sort_values("total_c", kind="mergesort")
+    vals = df["total_c"].to_numpy(np.int64)
+    cum = np.cumsum(df["n"].to_numpy(np.int64))
+    if len(vals) == 0:
+        return (0.0, 0.0)
+    n = cum[-1]
+    q1 = int(vals[np.searchsorted(cum, 0.25 * n, side="left")])
+    q3 = int(vals[np.searchsorted(cum, 0.75 * n, side="left")])
+    iqr = q3 - q1
+    return (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+
+
+def outlier_events(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """Tukey-fence (1.5*IQR) outlier filter over event values (the one
+    heavy-tailed measure in the star schema) — the data-cleaning gate
+    every training pipeline runs before aggregates. Shape: one combiner
+    value-count aggregate (shuffle O(distinct cents)), a worker-task
+    fold to the two fence floats, broadcast, then a map-side filter —
+    the fact rows are scanned twice but never shuffled. Fences are
+    q1/q3 ints plus an exact 1.5x float, so the boundary compares are
+    bit-identical in SQL.
+    """
+    events = read_table(sf_dir, "events", ["event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("value")))
+        return pa.table({"event_id": t.column("event_id"),
+                         "total_c": _cents(t.column("value"))})
+
+    withc = events.map_batches(prep, batch_format="pyarrow")
+    counts = grouped_agg(withc, keys=["total_c"],
+                         aggs={"n": (None, "count")},
+                         num_buckets=num_buckets)
+    ref = _iqr_bounds.remote(*counts.to_arrow_refs())
+
+    def flt(batch: pa.Table) -> pa.Table:
+        lo, hi = ray.get(ref)
+        tc = batch.column("total_c").to_numpy(zero_copy_only=False)
+        keep = (tc < lo) | (tc > hi)
+        return batch.filter(pa.array(keep))
+
+    return withc.map_batches(flt, batch_format="pyarrow")

@@ -1881,3 +1881,80 @@ def clustering_eval(sf_dir: str, window: int = 6, cap: int = 4) -> Dataset:
     cont = joint.map_batches(rename, batch_format="pyarrow")
     out = _pair_f1.remote(*cont.to_arrow_refs())
     return ray.data.from_arrow_refs([out])
+
+
+@ray.remote
+def _blocking_fold(true_pairs: int, n_records: int, *blocks) -> pa.Table:
+    """Fold per-block (pairs, covered) partials into the blocking-quality
+    row: reduction ratio + pairs completeness (Christen's blocking
+    metrics). All counts exact ints; the two ratios single float
+    divisions mirrored in SQL."""
+    cand = 0
+    covered = 0
+    for b in blocks:
+        t = (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+        if t.num_rows:
+            cand += int(pc.sum(t.column("pairs")).as_py())
+            covered += int(pc.sum(t.column("covered")).as_py())
+    total = n_records * (n_records - 1) // 2
+    rr = 1.0 - cand / total if total else 0.0
+    pcm = covered / true_pairs if true_pairs else 0.0
+    return pa.table({
+        "n_records": pa.array([n_records], pa.int64()),
+        "total_pairs": pa.array([total], pa.int64()),
+        "cand_pairs": pa.array([cand], pa.int64()),
+        "covered_pairs": pa.array([covered], pa.int64()),
+        "true_pairs": pa.array([true_pairs], pa.int64()),
+        "reduction_ratio": pa.array([rr], pa.float64()),
+        "pairs_completeness": pa.array([pcm], pa.float64())})
+
+
+def blocking_stats(sf_dir: str, window: int = 6) -> Dataset:
+    """Blocking-quality evaluation of the Sorted-Neighborhood blocker:
+    REDUCTION RATIO (1 - candidates/all-pairs) and PAIRS COMPLETENESS
+    (fraction of true duplicate pairs — exact-name matches — surviving
+    the blocker), the two standard blocking metrics. The pair stream is
+    reduced map-side to per-block (pairs, covered) ints (keys carried by
+    ``sorted_neighborhood_pairs``, so no join back), and the truth-pair
+    count is one combiner name-count aggregate — nothing materializes.
+    """
+    from chameleon_entity_linking_ray.stages.agg import grouped_agg
+    from chameleon_entity_linking_ray.stages.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = read_table(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch.column("p_partkey").cast(pa.int64()),
+                         "key": batch.column("p_name").cast(pa.string())})
+
+    keyed = part.map_batches(prep, batch_format="pyarrow")
+    pairs = sorted_neighborhood_pairs(keyed, key_col="key", id_col="id",
+                                      window=window, carry_key=True)
+
+    def reduce_block(batch: pa.Table) -> pa.Table:
+        eq = pc.equal(batch.column("left_key"), batch.column("right_key"))
+        cov = int(pc.sum(pc.cast(eq, pa.int64())).as_py() or 0)
+        return pa.table({"pairs": pa.array([batch.num_rows], pa.int64()),
+                         "covered": pa.array([cov], pa.int64())})
+
+    partials = pairs.map_batches(reduce_block, batch_format="pyarrow")
+
+    name_counts = grouped_agg(keyed, keys=["key"],
+                              aggs={"c": (None, "count")})
+
+    def tp_partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tp": pa.array([int((c * (c - 1) // 2).sum())], pa.int64()),
+            "n": pa.array([int(c.sum())], pa.int64())})
+
+    tp_parts = name_counts.map_batches(tp_partial, batch_format="pyarrow") \
+        .to_pandas()
+    true_pairs = int(tp_parts["tp"].sum())
+    n_records = int(tp_parts["n"].sum())
+    out = _blocking_fold.remote(true_pairs, n_records,
+                                *partials.to_arrow_refs())
+    return ray.data.from_arrow_refs([out])

@@ -294,3 +294,34 @@ class TestClusteringEval:
         r2 = clustering_eval(str(d2), window=3, cap=2).to_pandas().iloc[0]
         assert r2["pairs_true"] == 0 and r2["recall"] == 0.0
         assert r2["f1"] == 0.0
+
+
+class TestOutlierAndBlockingStats:
+    def test_outlier_fences(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            outlier_events,
+        )
+        vals = [1.0] * 50 + [2.0] * 50 + [100.0, -100.0, None]
+        ev = pd.DataFrame({
+            "event_id": np.arange(len(vals), dtype=np.int64),
+            "value": vals})
+        d = tmp_path / "sf"
+        d.mkdir()
+        ev.to_parquet(d / "events.parquet")
+        got = outlier_events(str(d)).to_pandas()
+        # q1=100c, q3=200c, fences [-50c, 350c]: only the two extremes
+        assert sorted(got["total_c"].tolist()) == [-10000, 10000]
+
+    def test_blocking_stats_identities(self):
+        from chameleon_entity_linking_ray.pipelines.corpus import (
+            blocking_stats,
+        )
+        r = blocking_stats("/root/testdata/sf0.001").to_pandas().iloc[0]
+        assert r["n_records"] == 200
+        assert r["total_pairs"] == 200 * 199 // 2
+        assert 0.0 <= r["reduction_ratio"] <= 1.0
+        assert r["covered_pairs"] <= r["true_pairs"]
+        assert r["covered_pairs"] <= r["cand_pairs"]
+        # window-5 neighbors over a name-sorted table catch every
+        # same-name pair whose run fits the window; completeness > 0
+        assert r["pairs_completeness"] > 0.0
