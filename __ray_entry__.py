@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_fuzzy": C.dedup_fuzzy_docs,
         "corpus_prep": _q_corpus_prep,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
+        "tf_cosine_pairs": C.tf_cosine_pairs,
         "edit_distance_pairs": C.edit_distance_pairs,
         "damerau_pairs": C.damerau_pairs,
         "jw_name_pairs": C.jw_name_pairs,
@@ -1247,6 +1248,43 @@ def oracle_sql() -> dict[str, str]:
                             JOIN sets sb ON sb.doc_id = c.right_doc
             )
             SELECT left_doc, right_doc, jaccard FROM j WHERE jaccard >= 0.5""",
+        # integer-TF cosine with rare-token blocking: dot/norms exact
+        # int sums, sqrt correctly rounded -> raw doubles hash-match
+        "tf_cosine_pairs": r"""
+            WITH tk AS (
+                SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(text),
+                                                       '\s+')) AS tok
+                      FROM documents WHERE length(trim(text)) > 0)
+                GROUP BY doc_id, tok
+            ), norms AS (
+                SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2
+                FROM tk GROUP BY doc_id
+            ), df AS (
+                SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS left_doc, b.doc_id AS right_doc
+                FROM tk a JOIN tk b ON a.tok = b.tok
+                 AND a.doc_id < b.doc_id
+                WHERE a.tok IN (SELECT tok FROM df WHERE df <= 30)
+            ), dots AS (
+                SELECT c.left_doc, c.right_doc,
+                       CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+                FROM cand c JOIN tk a ON a.doc_id = c.left_doc
+                            JOIN tk b ON b.doc_id = c.right_doc
+                                     AND b.tok = a.tok
+                GROUP BY c.left_doc, c.right_doc
+            ), res AS (
+                SELECT d.left_doc, d.right_doc,
+                       CAST(d.dot AS DOUBLE) /
+                       (sqrt(CAST(na.n2 AS DOUBLE))
+                        * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+                FROM dots d JOIN norms na ON na.doc_id = d.left_doc
+                            JOIN norms nb ON nb.doc_id = d.right_doc
+            )
+            SELECT left_doc, right_doc, cosine FROM res
+            WHERE cosine >= 0.6""",
         # edit-distance similarity join blocked on the first name token;
         # value-verifies the scorer's batched Levenshtein DP kernel
         "edit_distance_pairs": """

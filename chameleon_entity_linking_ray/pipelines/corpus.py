@@ -1958,3 +1958,99 @@ def blocking_stats(sf_dir: str, window: int = 6) -> Dataset:
     out = _blocking_fold.remote(true_pairs, n_records,
                                 *partials.to_arrow_refs())
     return ray.data.from_arrow_refs([out])
+
+
+def tf_cosine_pairs(sf_dir: str, threshold: float = 0.6,
+                    df_cap: int = 30) -> Dataset:
+    """Integer-TF cosine similarity join over documents — the sparse
+    bag-of-words twin of ``embedding_near_dups``: candidates from
+    RARE-TOKEN blocking (a pair qualifies iff it shares a token whose
+    document frequency is <= ``df_cap``; pairs per token bounded by
+    df_cap^2/2, skew-proof like ``ngram_jaccard_pairs``), disposed by
+    EXACT cosine over integer term frequencies. dot and the two squared
+    norms are exact int64 sums (order-independent), sqrt is correctly
+    rounded IEEE, and the final division mirrors the SQL expression — so
+    the raw doubles hash-match with no rounding anywhere.
+    """
+    from chameleon_entity_linking_ray.stages.blocking import _run_pairs
+    from chameleon_entity_linking_ray.stages.joins import semi_join_ds
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ids, toks = [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            for tok in set(t.split()):
+                ids.append(did)
+                toks.append(tok)
+        return pa.table({"doc_id": pa.array(np.asarray(ids, np.int64)
+                                            if ids else [], pa.int64()),
+                         "tok": pa.array(toks, pa.string())})
+
+    tk = docs.map_batches(tok_rows, batch_format="pyarrow").materialize()
+    rare = grouped_agg(tk, keys=["tok"], aggs={"df": (None, "count")}) \
+        .filter(expr=f"df <= {df_cap}").select_columns(["tok"])
+    rare_tk = semi_join_ds(tk, rare, "tok")
+
+    def add_tbucket(batch: pa.Table) -> pa.Table:
+        h = hash64(np.asarray(batch.column("tok").to_pylist(),
+                              dtype=object))
+        b = (mix64(h, seed=73) % np.uint64(64)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tok", "doc_id"], kind="mergesort")
+        _, counts = np.unique(g["tok"].to_numpy(), return_counts=True)
+        li, ri = _run_pairs(counts, window=0, max_block=df_cap + 1)
+        ids = g["doc_id"].to_numpy()
+        out = pd.DataFrame({"left_doc": ids[li], "right_doc": ids[ri]})
+        return out.drop_duplicates() if len(out) else \
+            pd.DataFrame({"left_doc": pd.Series(dtype=np.int64),
+                          "right_doc": pd.Series(dtype=np.int64)})
+
+    cand = rare_tk.map_batches(add_tbucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    cand = _dedup_pairs(cand, "left_doc", "right_doc",
+                        ["left_doc", "right_doc"])
+
+    ref = _assemble_doc_texts.remote(
+        *docs.select_columns(["doc_id", "text"]).to_arrow_refs())
+
+    def dispose(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"left_doc": pa.array([], pa.int64()),
+                          "right_doc": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        ids_s, texts = ray.get(ref)
+        li = batch.column("left_doc").to_numpy(zero_copy_only=False)
+        ri = batch.column("right_doc").to_numpy(zero_copy_only=False)
+        lt = texts[np.searchsorted(ids_s, li)]
+        rt = texts[np.searchsorted(ids_s, ri)]
+        memo: dict[str, tuple] = {}
+
+        def decomp(t: str):
+            d = memo.get(t)
+            if d is None:
+                u, c = np.unique(np.asarray(t.split(), dtype=object),
+                                 return_counts=True)
+                d = memo.setdefault(t, (u, c.astype(np.int64),
+                                        int((c.astype(np.int64) ** 2)
+                                            .sum())))
+            return d
+
+        cos = np.empty(len(li), np.float64)
+        for i, (a, b) in enumerate(zip(lt, rt)):
+            ua, ca, na2 = decomp(a)
+            ub, cb, nb2 = decomp(b)
+            _, ia, ib = np.intersect1d(ua, ub, assume_unique=True,
+                                       return_indices=True)
+            dot = int((ca[ia] * cb[ib]).sum())
+            cos[i] = dot / (np.sqrt(float(na2)) * np.sqrt(float(nb2))) \
+                if na2 and nb2 else 0.0
+        t = batch.select(["left_doc", "right_doc"]).append_column(
+            "cosine", pa.array(cos, pa.float64()))
+        return t.filter(pc.greater_equal(t.column("cosine"), threshold))
+
+    return cand.map_batches(dispose, batch_format="pyarrow")

@@ -177,7 +177,10 @@ def semi_join_ds(ds: Dataset, keys_ds: Dataset, key_col: str,
     # groupby outputs can include schema-less EMPTY blocks — drop them
     blocks = [pa.Table.from_pandas(b, preserve_index=False)
               if not isinstance(b, pa.Table) else b for b in blocks]
-    blocks = [b for b in blocks if keys_col in b.column_names]
+    # per-block projection: select_columns can leave stray columns on
+    # blocks of mixed (pandas/arrow, empty/non-empty) lineages
+    blocks = [b.select([keys_col]) for b in blocks
+              if keys_col in b.column_names]
     if blocks:
         keys = pa.concat_tables(blocks).column(keys_col).combine_chunks()
         keys = keys.unique() if isinstance(keys, pa.Array) else \

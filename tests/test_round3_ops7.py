@@ -325,3 +325,25 @@ class TestOutlierAndBlockingStats:
         # window-5 neighbors over a name-sorted table catch every
         # same-name pair whose run fits the window; completeness > 0
         assert r["pairs_completeness"] > 0.0
+
+
+class TestTfCosinePairs:
+    def test_cosine_exactness_and_blocking(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.corpus import (
+            tf_cosine_pairs,
+        )
+        docs = pd.DataFrame({
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["rareword a a b", "rareword a b b",
+                     "c c c d", "a b"]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        docs.to_parquet(d / "documents.parquet")
+        got = tf_cosine_pairs(str(d), threshold=0.0, df_cap=2).to_pandas()
+        # only docs 0 and 1 share a df<=2 token ("rareword")
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["left_doc"], r["right_doc"]) == (0, 1)
+        # tf0 = {rareword:1, a:2, b:1}, tf1 = {rareword:1, a:1, b:2}
+        # dot = 1 + 2 + 2 = 5; norms = sqrt(6)*sqrt(6)
+        assert r["cosine"] == 5.0 / (np.sqrt(6.0) * np.sqrt(6.0))
