@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": A.profile_orders,
         "sessionize_events": A.sessionize_events,
         "funnel_events": A.funnel_events,
+        "event_lift": A.event_lift,
+        "event_transitions": A.event_transitions,
         "rolling_user_window": A.rolling_user_window,
         "moving_avg_user": A.moving_avg_user,
         "user_running_total": A.user_running_total,
@@ -227,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_parts_snm": C.dedup_parts_snm,
         "clustering_eval": C.clustering_eval,
         "blocking_stats": C.blocking_stats,
+        "fs_weights": C.fs_weights,
         "embedding_near_dups": C.embedding_near_dups,
         "embedding_near_dups_lsh": C.embedding_near_dups_lsh,
         # --- similarity search / vector pooling ---
@@ -504,6 +507,41 @@ def oracle_sql() -> dict[str, str]:
             FROM u LEFT JOIN s1 USING (user_id)
                    LEFT JOIN s2 USING (user_id)
                    LEFT JOIN s3 USING (user_id)""",
+        # market-basket association stats over distinct (user, type)
+        # sets; counts exact ints, support/confidence/lift mirrored
+        "event_lift": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            nn AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+                   FROM events),
+            s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM ut GROUP BY event_type),
+            b AS (SELECT a.event_type AS type_a, b2.event_type AS type_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_both
+                  FROM ut a JOIN ut b2 ON a.user_id = b2.user_id
+                   AND a.event_type < b2.event_type
+                  GROUP BY 1, 2)
+            SELECT type_a, type_b, n_both,
+                   CAST(n_both AS DOUBLE) / nn.n AS support,
+                   CAST(n_both AS DOUBLE) / sa.c AS confidence,
+                   (CAST(n_both AS DOUBLE) / nn.n)
+                   / ((CAST(sa.c AS DOUBLE) / nn.n)
+                      * (CAST(sb.c AS DOUBLE) / nn.n)) AS lift
+            FROM b CROSS JOIN nn
+              JOIN s sa ON sa.event_type = b.type_a
+              JOIN s sb ON sb.event_type = b.type_b""",
+        # first-order Markov transitions per user over the unique
+        # (ts_us, event_id) order key
+        "event_transitions": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                              event_id
+                       FROM events),
+            l AS (SELECT event_type,
+                         LAG(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS prev_type
+                  FROM e)
+            SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM l WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type""",
         # RANGE-mode rolling window: peers (equal ts) share one window on
         # both sides, so tie order can never perturb the hash
         "rolling_user_window": """
@@ -1464,6 +1502,63 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(covered AS DOUBLE) / true_pairs
                         ELSE 0.0 END AS pairs_completeness
             FROM nc, tp, cs""",
+        # Fellegi-Sunter m/u comparator weights over SNM candidates,
+        # truth = exact-name equality; closed-form supervised estimates
+        "fs_weights": """
+            WITH rk AS (SELECT p_partkey AS id, p_name AS name,
+                               ROW_NUMBER() OVER (ORDER BY p_name,
+                                                  p_partkey) AS rn
+                        FROM part),
+            cand AS (SELECT a.id AS la, b.id AS lb,
+                            a.name = b.name AS is_match
+                     FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 5),
+            j AS (SELECT c.is_match,
+                         pa.p_brand = pb.p_brand AS ab,
+                         pa.p_type = pb.p_type AS at,
+                         pa.p_size = pb.p_size AS asz
+                  FROM cand c JOIN part pa ON pa.p_partkey = c.la
+                              JOIN part pb ON pb.p_partkey = c.lb),
+            agg AS (SELECT
+                CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_match,
+                CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_unmatch,
+                CAST(SUM(CASE WHEN ab AND is_match THEN 1 ELSE 0 END)
+                     AS BIGINT) AS am_brand,
+                CAST(SUM(CASE WHEN ab AND NOT is_match THEN 1 ELSE 0 END)
+                     AS BIGINT) AS au_brand,
+                CAST(SUM(CASE WHEN at AND is_match THEN 1 ELSE 0 END)
+                     AS BIGINT) AS am_type,
+                CAST(SUM(CASE WHEN at AND NOT is_match THEN 1 ELSE 0 END)
+                     AS BIGINT) AS au_type,
+                CAST(SUM(CASE WHEN asz AND is_match THEN 1 ELSE 0 END)
+                     AS BIGINT) AS am_size,
+                CAST(SUM(CASE WHEN asz AND NOT is_match THEN 1 ELSE 0 END)
+                     AS BIGINT) AS au_size
+                FROM j)
+            SELECT 'p_brand' AS field, n_match, n_unmatch,
+                   am_brand AS agree_match, au_brand AS agree_unmatch,
+                   CASE WHEN n_match > 0 THEN
+                       CAST(am_brand AS DOUBLE) / n_match ELSE 0.0 END
+                       AS m,
+                   CASE WHEN n_unmatch > 0 THEN
+                       CAST(au_brand AS DOUBLE) / n_unmatch ELSE 0.0 END
+                       AS u
+            FROM agg
+            UNION ALL
+            SELECT 'p_type', n_match, n_unmatch, am_type, au_type,
+                   CASE WHEN n_match > 0 THEN
+                       CAST(am_type AS DOUBLE) / n_match ELSE 0.0 END,
+                   CASE WHEN n_unmatch > 0 THEN
+                       CAST(au_type AS DOUBLE) / n_unmatch ELSE 0.0 END
+            FROM agg
+            UNION ALL
+            SELECT 'p_size', n_match, n_unmatch, am_size, au_size,
+                   CASE WHEN n_match > 0 THEN
+                       CAST(am_size AS DOUBLE) / n_match ELSE 0.0 END,
+                   CASE WHEN n_unmatch > 0 THEN
+                       CAST(au_size AS DOUBLE) / n_unmatch ELSE 0.0 END
+            FROM agg""",
         "embedding_near_dups": """
             SELECT * FROM (
                 SELECT a.vec_id AS left_vec, b.vec_id AS right_vec,

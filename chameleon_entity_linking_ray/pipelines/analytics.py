@@ -1736,3 +1736,132 @@ def outlier_events(sf_dir: str, num_buckets: int = 32) -> Dataset:
         return batch.filter(pa.array(keep))
 
     return withc.map_batches(flt, batch_format="pyarrow")
+
+
+def event_lift(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """Market-basket association stats over event types: for every
+    UNORDERED pair of event types, the users supporting both, plus
+    support / confidence / lift — the co-occurrence mining pass a
+    behavioral dataset runs before feature selection. One distinct
+    (user, type) combiner aggregate; the pair expansion happens on the
+    per-user DISTINCT TYPE SETS (bounded by the type vocabulary), never
+    on raw events. Counts exact ints; support/confidence/lift single
+    float expressions mirrored in SQL.
+    """
+    from chameleon_entity_linking_ray.functions.hashing import mix64
+    from chameleon_entity_linking_ray.stages.agg import distinct, grouped_agg
+
+    ev = read_table(sf_dir, "events", ["user_id", "event_type"])
+    ut = distinct(ev, ["user_id", "event_type"])
+
+    def ubucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((mix64(u.astype(np.uint64), seed=91)
+                                % np.uint64(num_buckets)).astype(np.int32),
+                               pa.int32()))
+
+    def type_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"type_a": pd.Series(dtype=object),
+                                 "type_b": pd.Series(dtype=object),
+                                 "n_both": pd.Series(dtype=np.int64)})
+        g = g.sort_values(["user_id", "event_type"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        _, counts = np.unique(uid, return_counts=True)
+        starts = np.cumsum(counts) - counts
+        within = np.arange(len(g)) - np.repeat(starts, counts)
+        c_of = np.repeat(counts, counts)
+        rem = c_of - within - 1
+        tot = int(rem.sum())
+        li = np.repeat(np.arange(len(g)), rem)
+        seg = np.cumsum(rem) - rem
+        ri = np.arange(tot) - np.repeat(seg, rem) + li + 1
+        pairs = pd.DataFrame({"type_a": et[li], "type_b": et[ri]})
+        out = pairs.groupby(["type_a", "type_b"], sort=False).size() \
+            .rename("n_both").reset_index()
+        return out
+
+    both = ut.map_batches(ubucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(type_pairs, batch_format="pandas")
+    both = grouped_agg(both, keys=["type_a", "type_b"],
+                       aggs={"n_both": ("n_both", "sum")})
+
+    singles = grouped_agg(ut, keys=["event_type"],
+                          aggs={"n": (None, "count")}).to_pandas()
+    n_users = int(distinct(ev, ["user_id"]).count())
+    counts_ref = ray.put((dict(zip(singles["event_type"], singles["n"])),
+                          n_users))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cmap, n = ray.get(counts_ref)
+        ta = batch.column("type_a").to_pylist()
+        tb = batch.column("type_b").to_pylist()
+        nb = batch.column("n_both").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        na = np.array([cmap[t] for t in ta], np.float64)
+        nb_ = np.array([cmap[t] for t in tb], np.float64)
+        support = nb / n
+        confidence = nb / na
+        lift = (nb / n) / ((na / n) * (nb_ / n))
+        return pa.table({
+            "type_a": batch.column("type_a"),
+            "type_b": batch.column("type_b"),
+            "n_both": batch.column("n_both").cast(pa.int64()),
+            "support": pa.array(support, pa.float64()),
+            "confidence": pa.array(confidence, pa.float64()),
+            "lift": pa.array(lift, pa.float64())})
+
+    return both.map_batches(attach, batch_format="pyarrow")
+
+
+def event_transitions(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """First-order Markov transition counts over each user's event
+    stream: (prev_type -> type) pairs in (ts, event_id) order — the
+    sequence-model statistics pass (session-path mining). One bucket
+    shuffle co-locates each user's events; the per-bucket kernel is a
+    sort + one shifted compare, no per-event Python. The (ts_us,
+    event_id) composite order key is unique, so transition counts are
+    deterministic under any partitioning.
+    """
+    from chameleon_entity_linking_ray.functions.hashing import mix64
+    from chameleon_entity_linking_ray.stages.agg import grouped_agg
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id",
+                                       "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").cast(pa.int64()).combine_chunks()
+        u = uid.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": uid,
+            "ts_us": b.column("ts").cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "event_type": b.column("event_type").cast(pa.string()),
+            "bucket": pa.array((mix64(u.astype(np.uint64), seed=97)
+                                % np.uint64(num_buckets)).astype(np.int32),
+                               pa.int32())})
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"prev_type": pd.Series(dtype=object),
+                                 "event_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        prev = np.r_[[""], et[:-1]]
+        sub = pd.DataFrame({"prev_type": prev[same],
+                            "event_type": et[same]})
+        return sub.groupby(["prev_type", "event_type"], sort=False) \
+            .size().rename("n").reset_index()
+
+    parts = ev.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(trans, batch_format="pandas")
+    return grouped_agg(parts, keys=["prev_type", "event_type"],
+                       aggs={"n": ("n", "sum")})

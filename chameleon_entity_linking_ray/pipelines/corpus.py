@@ -2054,3 +2054,109 @@ def tf_cosine_pairs(sf_dir: str, threshold: float = 0.6,
         return t.filter(pc.greater_equal(t.column("cosine"), threshold))
 
     return cand.map_batches(dispose, batch_format="pyarrow")
+
+
+@ray.remote
+def _assemble_part_attrs(*blocks):
+    """(sorted p_partkey, brand/type/size arrays) from part block refs —
+    worker-side assembly, driver holds the ref only."""
+    tabs = [b if isinstance(b, pa.Table)
+            else pa.Table.from_pandas(b, preserve_index=False)
+            for b in blocks]
+    t = pa.concat_tables([x for x in tabs if x.num_rows > 0])
+    ids = t.column("p_partkey").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order = np.argsort(ids, kind="mergesort")
+    return (ids[order],
+            np.asarray(t.column("p_brand").to_pylist(), object)[order],
+            np.asarray(t.column("p_type").to_pylist(), object)[order],
+            t.column("p_size").to_numpy(zero_copy_only=False)[order])
+
+
+_FS_FIELDS = ("p_brand", "p_type", "p_size")
+
+
+@ray.remote
+def _fs_fold(*blocks) -> pa.Table:
+    """Fold per-block agreement partials into the Fellegi-Sunter m/u
+    table: one row per comparator field with P(agree|match) and
+    P(agree|non-match) — the supervised (truth-labelled) estimate of the
+    FS match/unmatch weights (the EM-free case). Counts exact ints; m/u
+    single divisions mirrored in SQL."""
+    tot = np.zeros(2 + 2 * len(_FS_FIELDS), np.int64)
+    for b in blocks:
+        t = (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+        if t.num_rows:
+            tot += t.to_pandas().to_numpy(np.int64).sum(axis=0)
+    n_match, n_unmatch = int(tot[0]), int(tot[1])
+    rows = []
+    for i, f in enumerate(_FS_FIELDS):
+        am, au = int(tot[2 + 2 * i]), int(tot[3 + 2 * i])
+        rows.append((f, n_match, n_unmatch, am, au,
+                     am / n_match if n_match else 0.0,
+                     au / n_unmatch if n_unmatch else 0.0))
+    return pa.table({
+        "field": pa.array([r[0] for r in rows], pa.string()),
+        "n_match": pa.array([r[1] for r in rows], pa.int64()),
+        "n_unmatch": pa.array([r[2] for r in rows], pa.int64()),
+        "agree_match": pa.array([r[3] for r in rows], pa.int64()),
+        "agree_unmatch": pa.array([r[4] for r in rows], pa.int64()),
+        "m": pa.array([r[5] for r in rows], pa.float64()),
+        "u": pa.array([r[6] for r in rows], pa.float64())})
+
+
+def fs_weights(sf_dir: str, window: int = 6) -> Dataset:
+    """Fellegi-Sunter comparator weights estimated over the SNM
+    candidate space with exact-name matches as truth labels: for each
+    attribute comparator (brand / type / size equality), m =
+    P(agree | match) and u = P(agree | non-match) — the probabilistic
+    record-linkage parameters whose log-odds rank match evidence.
+    Supervised closed-form estimates (counts/ratios), so unlike the EM
+    fitting the reference-class systems use, every value is
+    SQL-verifiable. Pair stream reduces map-side to one partial-count
+    row per block; attributes probe a broadcast sorted-array table.
+    """
+    from chameleon_entity_linking_ray.stages.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = read_table(sf_dir, "part",
+                      ["p_partkey", "p_name", "p_brand", "p_type",
+                       "p_size"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch.column("p_partkey").cast(pa.int64()),
+                         "key": batch.column("p_name").cast(pa.string())})
+
+    keyed = part.map_batches(prep, batch_format="pyarrow")
+    pairs = sorted_neighborhood_pairs(keyed, key_col="key", id_col="id",
+                                      window=window, carry_key=True)
+    attr_ref = _assemble_part_attrs.remote(
+        *part.select_columns(["p_partkey", "p_brand", "p_type", "p_size"])
+        .to_arrow_refs())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = ["n_match", "n_unmatch"] + \
+            [f"{k}_{f}" for f in _FS_FIELDS for k in ("am", "au")]
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        ids_s, brand, ptype, size = ray.get(attr_ref)
+        li = np.searchsorted(ids_s, batch.column("left_id")
+                             .to_numpy(zero_copy_only=False))
+        ri = np.searchsorted(ids_s, batch.column("right_id")
+                             .to_numpy(zero_copy_only=False))
+        match = np.asarray(
+            pc.equal(batch.column("left_key"),
+                     batch.column("right_key")).to_pylist(), bool)
+        out = [int(match.sum()), int((~match).sum())]
+        for arr in (brand, ptype, size):
+            agree = arr[li] == arr[ri]
+            out += [int((agree & match).sum()),
+                    int((agree & ~match).sum())]
+        return pa.table({c: pa.array([v], pa.int64())
+                         for c, v in zip(cols, out)})
+
+    partials = pairs.map_batches(partial, batch_format="pyarrow")
+    out = _fs_fold.remote(*partials.to_arrow_refs())
+    return ray.data.from_arrow_refs([out])

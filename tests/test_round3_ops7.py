@@ -347,3 +347,52 @@ class TestTfCosinePairs:
         # tf0 = {rareword:1, a:2, b:1}, tf1 = {rareword:1, a:1, b:2}
         # dot = 1 + 2 + 2 = 5; norms = sqrt(6)*sqrt(6)
         assert r["cosine"] == 5.0 / (np.sqrt(6.0) * np.sqrt(6.0))
+
+
+class TestEventMiningAndFs:
+    def test_transitions_counts(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            event_transitions,
+        )
+        ev = pd.DataFrame({
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime([10, 20, 30, 10, 20], unit="us"),
+            "event_id": np.arange(5, dtype=np.int64),
+            "event_type": ["a", "b", "a", "a", "b"]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        ev.to_parquet(d / "events.parquet")
+        got = event_transitions(str(d)).to_pandas() \
+            .set_index(["prev_type", "event_type"])["n"]
+        assert got[("a", "b")] == 2 and got[("b", "a")] == 1
+        assert len(got) == 2
+
+    def test_lift_identities(self):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            event_lift,
+        )
+        got = event_lift("/root/testdata/sf0.001").to_pandas()
+        assert (got["type_a"] < got["type_b"]).all()
+        assert (got["support"] > 0).all() and (got["support"] <= 1).all()
+        assert (got["confidence"] <= 1).all()
+
+    def test_fs_m_exceeds_u_on_correlated_attrs(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.corpus import fs_weights
+        # brand determined by name (strong m), size random-ish (weak)
+        rng = np.random.default_rng(3)
+        names = [f"name {i % 5}" for i in range(40)]
+        df = pd.DataFrame({
+            "p_partkey": np.arange(40, dtype=np.int64),
+            "p_name": names,
+            "p_brand": [n.replace("name", "brand") for n in names],
+            "p_type": [f"t{i % 2}" for i in range(40)],
+            "p_size": rng.integers(0, 50, 40).astype(np.int32)})
+        d = tmp_path / "sf"
+        d.mkdir()
+        df.to_parquet(d / "part.parquet")
+        got = fs_weights(str(d)).to_pandas().set_index("field")
+        assert got.loc["p_brand", "m"] == 1.0  # brand == f(name)
+        assert got.loc["p_brand", "u"] < 1.0
+        assert set(got.index) == {"p_brand", "p_type", "p_size"}
+        assert (got["agree_match"] <= got["n_match"]).all()
+        assert (got["agree_unmatch"] <= got["n_unmatch"]).all()
