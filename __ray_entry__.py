@@ -182,6 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": A.funnel_events,
         "event_lift": A.event_lift,
         "event_transitions": A.event_transitions,
+        "cohort_retention": A.cohort_retention,
+        "priority_segment_chisq": A.priority_segment_chisq,
+        "revenue_share": A.revenue_share,
         "rolling_user_window": A.rolling_user_window,
         "moving_avg_user": A.moving_avg_user,
         "user_running_total": A.user_running_total,
@@ -542,6 +545,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
             FROM l WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type""",
+        # cohort retention over exact integer epoch-week indices
+        "cohort_retention": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                               epoch_us(ts) // 604800000000 AS week
+                        FROM events),
+            c AS (SELECT user_id, MIN(week) AS cohort FROM uw
+                  GROUP BY user_id)
+            SELECT c.cohort AS cohort_week,
+                   uw.week - c.cohort AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM uw JOIN c USING (user_id)
+            GROUP BY 1, 2""",
+        # chi-square contingency decomposition; expected = int product /
+        # one division, contribution written as x*x/e on both engines
+        "priority_segment_chisq": """
+            WITH j AS (SELECT o_orderpriority, c_mktsegment
+                       FROM orders JOIN customer ON o_custkey = c_custkey),
+            cont AS (SELECT o_orderpriority, c_mktsegment,
+                            CAST(COUNT(*) AS BIGINT) AS observed
+                     FROM j GROUP BY 1, 2),
+            rm AS (SELECT o_orderpriority,
+                          CAST(SUM(observed) AS BIGINT) AS rtot
+                   FROM cont GROUP BY 1),
+            cm AS (SELECT c_mktsegment,
+                          CAST(SUM(observed) AS BIGINT) AS ctot
+                   FROM cont GROUP BY 1),
+            nn AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cont)
+            SELECT cont.o_orderpriority, cont.c_mktsegment, observed,
+                   CAST(rtot * ctot AS DOUBLE) / nn.n AS expected,
+                   (observed - CAST(rtot * ctot AS DOUBLE) / nn.n)
+                   * (observed - CAST(rtot * ctot AS DOUBLE) / nn.n)
+                   / (CAST(rtot * ctot AS DOUBLE) / nn.n) AS contrib
+            FROM cont JOIN rm USING (o_orderpriority)
+                      JOIN cm USING (c_mktsegment)
+                      CROSS JOIN nn""",
+        # ratio-to-report: nation share within region + grand total
+        "revenue_share": """
+            WITH f AS (SELECT r_name, n_name,
+                              CAST(SUM(CAST(trunc(o_totalprice*100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS revenue_c
+                       FROM orders JOIN customer ON o_custkey = c_custkey
+                         JOIN nation ON c_nationkey = n_nationkey
+                         JOIN region ON n_regionkey = r_regionkey
+                       GROUP BY r_name, n_name),
+            r AS (SELECT r_name, CAST(SUM(revenue_c) AS BIGINT) AS rtot
+                  FROM f GROUP BY r_name),
+            t AS (SELECT CAST(SUM(revenue_c) AS BIGINT) AS tot FROM f)
+            SELECT f.r_name, f.n_name, f.revenue_c,
+                   CAST(f.revenue_c AS DOUBLE) / r.rtot AS region_share,
+                   CAST(f.revenue_c AS DOUBLE) / t.tot AS total_share
+            FROM f JOIN r USING (r_name) CROSS JOIN t""",
         # RANGE-mode rolling window: peers (equal ts) share one window on
         # both sides, so tie order can never perturb the hash
         "rolling_user_window": """

@@ -1865,3 +1865,136 @@ def event_transitions(sf_dir: str, num_buckets: int = 32) -> Dataset:
         .groupby("bucket").map_groups(trans, batch_format="pandas")
     return grouped_agg(parts, keys=["prev_type", "event_type"],
                        aggs={"n": ("n", "sum")})
+
+
+def cohort_retention(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """Cohort retention matrix: users grouped by first-activity week
+    (the cohort), counted as retained in every later week they appear —
+    the standard product-analytics cohort table. Weeks are exact integer
+    epoch-week indices (epoch_us // (7 * 86400 * 1e6)), so cohort and
+    offset arithmetic is identical in SQL. Shape: one distinct
+    (user, week) combiner, one per-user min (the cohort), a broadcast of
+    the tiny user->cohort map, then a final (cohort, offset) count — no
+    raw-event shuffle.
+    """
+    from chameleon_entity_linking_ray.stages.agg import distinct, grouped_agg
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "week": pc.divide(b.column("ts").cast(pa.timestamp("us"))
+                              .cast(pa.int64()), 7 * 86400 * 1_000_000)})
+
+    uw = distinct(ev.map_batches(prep, batch_format="pyarrow"),
+                  ["user_id", "week"])
+    cohorts = grouped_agg(uw, keys=["user_id"],
+                          aggs={"cohort": ("week", "min")}).to_pandas()
+    ref = ray.put((cohorts["user_id"].to_numpy(np.int64),
+                   cohorts["cohort"].to_numpy(np.int64)))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        uids_s, coh = ray.get(ref)
+        order = np.argsort(uids_s, kind="mergesort")
+        uids_s, coh = uids_s[order], coh[order]
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        w = batch.column("week").to_numpy(zero_copy_only=False)
+        c = coh[np.searchsorted(uids_s, u)]
+        return pa.table({
+            "cohort_week": pa.array(c, pa.int64()),
+            "week_offset": pa.array((w - c).astype(np.int64), pa.int64())})
+
+    cells = uw.map_batches(attach, batch_format="pyarrow")
+    return grouped_agg(cells, keys=["cohort_week", "week_offset"],
+                       aggs={"n_users": (None, "count")})
+
+
+def priority_segment_chisq(sf_dir: str) -> Dataset:
+    """Chi-square contingency decomposition of order priority x customer
+    market segment: per cell, observed count, expected count under
+    independence (row_total * col_total / n — integer product, ONE
+    division), and the chi-square contribution (obs - exp)^2 / exp.
+    Emitting per-cell contributions instead of the global statistic
+    keeps every float a short deterministic expression (a global sum
+    would depend on SQL's aggregation order). One combiner aggregate to
+    the contingency table; margins derived from it O(cells).
+    """
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_hash_join(orders, cust, on=("o_custkey",),
+                            right_on=("c_custkey",), join_type="inner")
+    cont = grouped_agg(j, keys=["o_orderpriority", "c_mktsegment"],
+                       aggs={"observed": (None, "count")})
+    cdf = cont.to_pandas()
+    ref = ray.put((cdf.groupby("o_orderpriority")["observed"].sum()
+                   .to_dict(),
+                   cdf.groupby("c_mktsegment")["observed"].sum().to_dict(),
+                   int(cdf["observed"].sum())))
+
+    def cell(batch: pa.Table) -> pa.Table:
+        rm, cm, n = ray.get(ref)
+        pr = batch.column("o_orderpriority").to_pylist()
+        sg = batch.column("c_mktsegment").to_pylist()
+        obs = batch.column("observed").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rtot = np.array([rm[p] for p in pr], np.int64)
+        ctot = np.array([cm[s] for s in sg], np.int64)
+        exp = (rtot * ctot).astype(np.float64) / n
+        contrib = (obs - exp) ** 2 / exp
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "observed": pa.array(obs, pa.int64()),
+            "expected": pa.array(exp, pa.float64()),
+            "contrib": pa.array(contrib, pa.float64())})
+
+    return cont.map_batches(cell, batch_format="pyarrow")
+
+
+def revenue_share(sf_dir: str) -> Dataset:
+    """Ratio-to-report window (share of each nation's revenue within its
+    region, and within the grand total) — SQL's ``SUM() OVER (PARTITION
+    BY region)`` ratio pattern without any window shuffle: ONE combiner
+    aggregate to (region, nation) cents, then O(groups) margin math.
+    Revenue cents exact ints; both shares single divisions.
+    """
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = read_table(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"])
+    region = read_table(sf_dir, "region")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "total_c": _cents(batch.column("o_totalprice"))})
+
+    j = broadcast_hash_join(orders.map_batches(prep, batch_format="pyarrow"),
+                            cust, on=("o_custkey",),
+                            right_on=("c_custkey",), join_type="inner")
+    j = broadcast_hash_join(j, nation, on=("c_nationkey",),
+                            right_on=("n_nationkey",), join_type="inner")
+    j = broadcast_hash_join(j, region, on=("n_regionkey",),
+                            right_on=("r_regionkey",), join_type="inner")
+    fine = grouped_agg(j, keys=["r_name", "n_name"],
+                       aggs={"revenue_c": ("total_c", "sum")}).to_pandas()
+    ref = ray.put((fine.groupby("r_name")["revenue_c"].sum().to_dict(),
+                   int(fine["revenue_c"].sum())))
+    fine_ds = ray.data.from_pandas(fine)
+
+    def share(batch: pa.Table) -> pa.Table:
+        rm, tot = ray.get(ref)
+        rn = batch.column("r_name").to_pylist()
+        rev = batch.column("revenue_c").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rtot = np.array([rm[r] for r in rn], np.int64)
+        return pa.table({
+            "r_name": batch.column("r_name"),
+            "n_name": batch.column("n_name"),
+            "revenue_c": pa.array(rev, pa.int64()),
+            "region_share": pa.array(rev.astype(np.float64) / rtot,
+                                     pa.float64()),
+            "total_share": pa.array(rev.astype(np.float64) / tot,
+                                    pa.float64())})
+
+    return fine_ds.map_batches(share, batch_format="pyarrow")

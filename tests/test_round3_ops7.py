@@ -396,3 +396,43 @@ class TestEventMiningAndFs:
         assert set(got.index) == {"p_brand", "p_type", "p_size"}
         assert (got["agree_match"] <= got["n_match"]).all()
         assert (got["agree_unmatch"] <= got["n_unmatch"]).all()
+
+
+class TestCohortChisqShare:
+    def test_cohort_cell_identities(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            cohort_retention,
+        )
+        wk = 7 * 86400 * 1_000_000
+        ev = pd.DataFrame({
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(
+                [0, wk, 3 * wk, wk, 2 * wk, 3 * wk], unit="us")})
+        d = tmp_path / "sf"
+        d.mkdir()
+        ev.to_parquet(d / "events.parquet")
+        got = cohort_retention(str(d)).to_pandas() \
+            .set_index(["cohort_week", "week_offset"])["n_users"]
+        # u1 cohort 0 at offsets 0,1,3; u2 cohort 1 at 0,1; u3 cohort 3
+        assert got[(0, 0)] == 1 and got[(0, 1)] == 1 and got[(0, 3)] == 1
+        assert got[(1, 0)] == 1 and got[(1, 1)] == 1
+        assert got[(3, 0)] == 1
+        assert len(got) == 6
+
+    def test_chisq_margins(self):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            priority_segment_chisq,
+        )
+        got = priority_segment_chisq("/root/testdata/sf0.001").to_pandas()
+        # expected sums to n along both margins
+        assert np.isclose(got["expected"].sum(), got["observed"].sum())
+        assert (got["contrib"] >= 0).all()
+
+    def test_share_sums_to_one(self):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            revenue_share,
+        )
+        got = revenue_share("/root/testdata/sf0.001").to_pandas()
+        assert np.isclose(got["total_share"].sum(), 1.0)
+        for _, g in got.groupby("r_name"):
+            assert np.isclose(g["region_share"].sum(), 1.0)
