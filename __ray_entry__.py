@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_copurchase": _q_bfs,
         "dfs_copurchase": _q_dfs,
         "ppr_copurchase": _q_ppr,
+        "degree_histogram": _q_degree_hist,
+        "edge_overlap": _q_edge_overlap,
         # --- multimodal plumbing (decode stubs, deterministic fakes) ---
         "media_decode": _q_media,
         "media_resize": _q_media_resize,
@@ -316,6 +318,16 @@ def _q_dfs(sf_dir):
 def _q_ppr(sf_dir):
     from chameleon_entity_linking_ray.stages.graph import ppr_copurchase
     return ppr_copurchase(sf_dir, seed_part=0)
+
+
+def _q_degree_hist(sf_dir):
+    from chameleon_entity_linking_ray.stages.graph import degree_histogram
+    return degree_histogram(sf_dir)
+
+
+def _q_edge_overlap(sf_dir):
+    from chameleon_entity_linking_ray.stages.graph import edge_overlap
+    return edge_overlap(sf_dir)
 
 
 def _q_media(sf_dir):
@@ -1197,6 +1209,50 @@ def oracle_sql() -> dict[str, str]:
                 WHERE r.hop < 2
             )
             SELECT node, MIN(hop) AS hop FROM r GROUP BY node""",
+        # degree distribution over the deduped co-purchase graph
+        "degree_histogram": """
+            WITH pairs AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey != b.l_partkey
+            ), deg AS (
+                SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+                FROM pairs GROUP BY src
+            )
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY d""",
+        # per-edge neighborhood overlap (embeddedness): exact common
+        # neighbors + neighbor-set Jaccard for every undirected edge
+        "edge_overlap": """
+            WITH pairs AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey != b.l_partkey
+            ), deg AS (
+                SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+                FROM pairs GROUP BY src
+            ), cand AS (
+                SELECT src AS node_a, dst AS node_b FROM pairs
+                WHERE src < dst
+            ), cnj AS (
+                SELECT c.node_a, c.node_b, CAST(COUNT(*) AS BIGINT) AS cn
+                FROM cand c JOIN pairs x ON x.src = c.node_a
+                            JOIN pairs y ON y.src = c.node_b
+                                        AND y.dst = x.dst
+                GROUP BY c.node_a, c.node_b
+            )
+            SELECT c.node_a, c.node_b,
+                   CAST(COALESCE(cnj.cn, 0) AS BIGINT) AS cn,
+                   da.d AS deg_a, db.d AS deg_b,
+                   CAST(COALESCE(cnj.cn, 0) AS DOUBLE)
+                   / (da.d + db.d - COALESCE(cnj.cn, 0)) AS jaccard
+            FROM cand c
+              LEFT JOIN cnj ON cnj.node_a = c.node_a
+                           AND cnj.node_b = c.node_b
+              JOIN deg da ON da.node = c.node_a
+              JOIN deg db ON db.node = c.node_b""",
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents""",
         "simhash_docs": r"""

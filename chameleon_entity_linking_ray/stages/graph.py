@@ -614,3 +614,71 @@ def triangles_copurchase(sf_dir: str) -> Dataset:
     self-join on the canonical src<dst edge set + UNION ALL corner
     count)."""
     return triangle_counts(copurchase_edges(sf_dir))
+
+
+def degree_histogram(sf_dir: str) -> Dataset:
+    """Degree distribution of the co-purchase graph: (degree, n_nodes) —
+    the first profiling pass of any graph pipeline. Edges are globally
+    deduped (copurchase_edges dedups per order-bucket only; the same
+    pair can arise from different orders), then two combiner aggregates:
+    per-node degree, then the histogram over degrees. Shuffles carry
+    O(edges) then O(nodes) narrow rows."""
+    from chameleon_entity_linking_ray.stages.agg import distinct, grouped_agg
+
+    edges = distinct(copurchase_edges(sf_dir), ["src", "dst"])
+    deg = grouped_agg(edges, keys=["src"], aggs={"d": (None, "count")})
+    return grouped_agg(deg, keys=["d"], aggs={"n_nodes": (None, "count")})
+
+
+def edge_overlap(sf_dir: str) -> Dataset:
+    """Neighborhood-overlap (embeddedness) features for every undirected
+    co-purchase edge: exact common-neighbor count and neighbor-set
+    Jaccard — the classic tie-strength / link-analysis features
+    (Granovetter embeddedness; the building block of Jaccard link
+    prediction). Output is one row per edge, so cost is O(edges x
+    avg-degree) by construction — no wedge blowup. The full adjacency is
+    a broadcast CSR assembled from edge block refs in a worker task;
+    cn / degrees exact ints, jaccard one division — hash-exact vs SQL.
+    """
+    from chameleon_entity_linking_ray.stages.agg import distinct
+
+    edges = distinct(copurchase_edges(sf_dir), ["src", "dst"]) \
+        .materialize()  # consumed by the candidate filter and the CSR
+    cand = edges.filter(expr="src < dst")
+    adj_ref = _build_csr.remote(*edges.to_arrow_refs())
+
+    def score(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"node_a": pa.array([], pa.int64()),
+                          "node_b": pa.array([], pa.int64()),
+                          "cn": pa.array([], pa.int64()),
+                          "deg_a": pa.array([], pa.int64()),
+                          "deg_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return empty
+        keys_s, bounds, dst_s = ray.get(adj_ref)
+        a = batch.column("src").to_numpy(zero_copy_only=False)
+        b = batch.column("dst").to_numpy(zero_copy_only=False)
+
+        def nbrs(v: int) -> np.ndarray:
+            i = np.searchsorted(keys_s, v)
+            return dst_s[bounds[i]: bounds[i + 1]]
+
+        cn = np.empty(len(a), np.int64)
+        da = np.empty(len(a), np.int64)
+        db = np.empty(len(a), np.int64)
+        for i in range(len(a)):
+            na_, nb_ = nbrs(int(a[i])), nbrs(int(b[i]))
+            cn[i] = len(np.intersect1d(na_, nb_, assume_unique=True))
+            da[i], db[i] = len(na_), len(nb_)
+        union = da + db - cn
+        jac = cn.astype(np.float64) / union.astype(np.float64)
+        return pa.table({
+            "node_a": pa.array(a, pa.int64()),
+            "node_b": pa.array(b, pa.int64()),
+            "cn": pa.array(cn, pa.int64()),
+            "deg_a": pa.array(da, pa.int64()),
+            "deg_b": pa.array(db, pa.int64()),
+            "jaccard": pa.array(jac, pa.float64())})
+
+    return cand.map_batches(score, batch_format="pyarrow")

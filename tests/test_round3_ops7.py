@@ -436,3 +436,37 @@ class TestCohortChisqShare:
         assert np.isclose(got["total_share"].sum(), 1.0)
         for _, g in got.groupby("r_name"):
             assert np.isclose(g["region_share"].sum(), 1.0)
+
+
+class TestGraphFeatures:
+    def test_degree_histogram_mass(self, tmp_path):
+        from chameleon_entity_linking_ray.stages.graph import (
+            degree_histogram,
+        )
+        # two orders: {1,2,3} and {3,4} -> degrees 1:2 2:2 3:3 4:1
+        li = pd.DataFrame({"l_orderkey": [10, 10, 10, 20, 20],
+                           "l_partkey": [1, 2, 3, 3, 4]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        li.to_parquet(d / "lineitem.parquet")
+        got = degree_histogram(str(d)).to_pandas() \
+            .set_index("d")["n_nodes"]
+        assert got[2] == 2 and got[3] == 1 and got[1] == 1
+
+    def test_edge_overlap_values(self, tmp_path):
+        from chameleon_entity_linking_ray.stages.graph import edge_overlap
+        # triangle {1,2,3} plus pendant 4 on 3
+        li = pd.DataFrame({"l_orderkey": [10, 10, 10, 20, 20],
+                           "l_partkey": [1, 2, 3, 3, 4]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        li.to_parquet(d / "lineitem.parquet")
+        got = edge_overlap(str(d)).to_pandas() \
+            .set_index(["node_a", "node_b"])
+        # edge (1,2): common neighbor {3}; N(1)={2,3}, N(2)={1,3}
+        assert got.loc[(1, 2), "cn"] == 1
+        assert got.loc[(1, 2), "jaccard"] == 1.0 / 3.0
+        # edge (3,4): no common neighbors
+        assert got.loc[(3, 4), "cn"] == 0
+        assert got.loc[(3, 4), "jaccard"] == 0.0
+        assert len(got) == 4
