@@ -201,6 +201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_revenue": A.unpivot_revenue,
         "histogram_orders": A.histogram_orders,
         "outlier_events": A.outlier_events,
+        "value_mad": A.value_mad,
+        "top_orders_ties": A.top_orders_ties,
+        "throttle_events": A.throttle_events,
         "row_number_orders": A.row_number_orders,
         "user_gaps": A.user_gaps,
         "segment_stats": A.segment_stats,
@@ -712,6 +715,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, total_c FROM o, q
             WHERE total_c < q1 - 1.5 * (q3 - q1)
                OR total_c > q3 + 1.5 * (q3 - q1)""",
+        # median absolute deviation: two PERCENTILE_DISC passes, all ints
+        "value_mad": """
+            WITH o AS (SELECT CAST(trunc(value*100) AS BIGINT) AS v
+                       FROM events WHERE value IS NOT NULL),
+            m AS (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                              (ORDER BY v) AS BIGINT) AS median_c FROM o),
+            d AS (SELECT abs(v - median_c) AS av FROM o CROSS JOIN m)
+            SELECT m.median_c,
+                   (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                                (ORDER BY av) AS BIGINT) FROM d) AS mad_c
+            FROM m""",
+        # global top-k WITH TIES via the broadcast CDF (RANK semantics)
+        "top_orders_ties": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(trunc(o_totalprice*100) AS BIGINT)
+                                  AS total_c
+                       FROM orders)
+            SELECT o_orderkey, total_c,
+                   CAST(RANK() OVER (ORDER BY total_c DESC) AS BIGINT)
+                       AS rnk
+            FROM o QUALIFY rnk <= 20""",
+        # LAG-based event throttling (de-bounce): keep iff no same
+        # (user, type) event within gap_s before it
+        "throttle_events": """
+            WITH e AS (SELECT event_id, user_id, event_type,
+                              epoch_us(ts) AS ts_us FROM events),
+            l AS (SELECT event_id, user_id, event_type, ts_us,
+                         LAG(ts_us) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts_us, event_id) AS prev
+                  FROM e)
+            SELECT event_id, user_id, event_type, ts_us FROM l
+            WHERE prev IS NULL OR ts_us - prev > 600000000""",
         # global CDF: tie-deterministic CUME_DIST; int/int division is
         # bit-identical IEEE double on both engines
         "cume_dist_orders": """

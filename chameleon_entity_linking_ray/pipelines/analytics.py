@@ -1998,3 +1998,136 @@ def revenue_share(sf_dir: str) -> Dataset:
                                     pa.float64())})
 
     return fine_ds.map_batches(share, batch_format="pyarrow")
+
+
+@ray.remote
+def _mad_fold(*blocks) -> np.int64:
+    """PERCENTILE_DISC(0.5) over a (v, n) value-count table (min value
+    whose cumulative count reaches n/2 — the segment_percentiles
+    convention)."""
+    frames = []
+    for b in blocks:
+        t = (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+        if t.num_rows:
+            frames.append(t.select(["v", "n"]).to_pandas())
+    df = pd.concat(frames).sort_values("v", kind="mergesort")
+    vals = df["v"].to_numpy(np.int64)
+    cum = np.cumsum(df["n"].to_numpy(np.int64))
+    return np.int64(vals[np.searchsorted(cum, 0.5 * cum[-1],
+                                         side="left")])
+
+
+def value_mad(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """Median absolute deviation of event values — the robust scale
+    estimator (outlier-insensitive twin of stddev). Two passes, each a
+    combiner value-count aggregate + a worker-task median over the tiny
+    distinct table: shuffles carry O(distinct cents), never rows. Both
+    medians are PERCENTILE_DISC ints, so the single output row is
+    hash-exact.
+    """
+    from chameleon_entity_linking_ray.stages.agg import grouped_agg
+
+    ev = read_table(sf_dir, "events", ["value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("value")))
+        return pa.table({"v": _cents(t.column("value"))})
+
+    withc = ev.map_batches(prep, batch_format="pyarrow")
+    c1 = grouped_agg(withc, keys=["v"], aggs={"n": (None, "count")},
+                     num_buckets=num_buckets)
+    med = int(ray.get(_mad_fold.remote(*c1.to_arrow_refs())))
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(np.abs(v - med), pa.int64())})
+
+    c2 = grouped_agg(withc.map_batches(absdev, batch_format="pyarrow"),
+                     keys=["v"], aggs={"n": (None, "count")},
+                     num_buckets=num_buckets)
+    mad = int(ray.get(_mad_fold.remote(*c2.to_arrow_refs())))
+    return ray.data.from_arrow(pa.table({
+        "median_c": pa.array([med], pa.int64()),
+        "mad_c": pa.array([mad], pa.int64())}))
+
+
+def top_orders_ties(sf_dir: str, k: int = 20,
+                    num_buckets: int = 32) -> Dataset:
+    """Global top-k orders WITH TIES (SQL ``QUALIFY RANK() <= k``) and
+    the tie-sharing rank — no global sort: the broadcast-CDF backbone
+    (``_cdf_ref``) gives rank = 1 + #rows strictly above as exact int
+    arithmetic, and the filter is map-side. Unlike ``top_orders``
+    (ROW_NUMBER semantics), ties at the boundary all survive, so the
+    output is reproducible without a tie-break key.
+    """
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "total_c": _cents(batch.column("o_totalprice"))})
+
+    withc = orders.map_batches(prep, batch_format="pyarrow")
+    ref = _cdf_ref(withc, num_buckets)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vals, cum, n = ray.get(ref)
+        tc = batch.column("total_c").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vals, tc, side="right")
+        above = n - np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
+        rnk = above + 1
+        out = batch.append_column("rnk", pa.array(rnk.astype(np.int64),
+                                                  pa.int64()))
+        return out.filter(pa.array(rnk <= k))
+
+    return withc.map_batches(attach, batch_format="pyarrow")
+
+
+def throttle_events(sf_dir: str, gap_s: int = 600,
+                    num_buckets: int = 32) -> Dataset:
+    """Rate-limit dedup: keep an event iff the PREVIOUS raw event of the
+    same (user, type) stream is more than ``gap_s`` seconds older (LAG
+    semantics — non-iterative, so it is exactly SQL-expressible, unlike
+    keep-first-of-burst cascades). The standard event-stream
+    de-bouncing/cleaning op. One bucket shuffle per user; the kernel is
+    a sort + one shifted compare over the unique (ts_us, event_id) order
+    key.
+    """
+    from chameleon_entity_linking_ray.functions.hashing import mix64
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id",
+                                       "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").cast(pa.int64()).combine_chunks()
+        u = uid.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": uid,
+            "ts_us": b.column("ts").cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "event_type": b.column("event_type").cast(pa.string()),
+            "bucket": pa.array((mix64(u.astype(np.uint64), seed=103)
+                                % np.uint64(num_buckets)).astype(np.int32),
+                               pa.int32())})
+
+    gap_us = gap_s * 1_000_000
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "event_type", "ts_us"]
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 if c != "event_type"
+                                 else pd.Series(dtype=object)
+                                 for c in cols})
+        g = g.sort_values(["user_id", "event_type", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        same = np.r_[False, (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])]
+        close = np.r_[False, (ts[1:] - ts[:-1]) <= gap_us]
+        return g.loc[~(same & close), cols]
+
+    return ev.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(keep, batch_format="pandas")

@@ -470,3 +470,54 @@ class TestGraphFeatures:
         assert got.loc[(3, 4), "cn"] == 0
         assert got.loc[(3, 4), "jaccard"] == 0.0
         assert len(got) == 4
+
+
+class TestMadTiesThrottle:
+    def test_mad_known(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            value_mad,
+        )
+        ev = pd.DataFrame({"value": [1.0, 2.0, 3.0, 4.0, 100.0]})
+        ev["event_id"] = np.arange(5)
+        d = tmp_path / "sf"
+        d.mkdir()
+        ev.to_parquet(d / "events.parquet")
+        r = value_mad(str(d)).to_pandas().iloc[0]
+        # median 300c; |x-300|: 200,100,0,100,9700 -> MAD 100c
+        assert r["median_c"] == 300 and r["mad_c"] == 100
+
+    def test_ties_all_survive(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            top_orders_ties,
+        )
+        od = pd.DataFrame({
+            "o_orderkey": np.arange(6, dtype=np.int64),
+            "o_totalprice": [9.0, 9.0, 9.0, 5.0, 5.0, 1.0]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        od.to_parquet(d / "orders.parquet")
+        got = top_orders_ties(str(d), k=2).to_pandas()
+        # rank 1 x3 ties all survive even though k=2
+        assert sorted(got["o_orderkey"]) == [0, 1, 2]
+        assert (got["rnk"] == 1).all()
+
+    def test_throttle_keeps_gap_events(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            throttle_events,
+        )
+        us = 1_000_000
+        ev = pd.DataFrame({
+            "user_id": [1, 1, 1, 1],
+            "event_id": np.arange(4, dtype=np.int64),
+            "event_type": ["a", "a", "a", "b"],
+            "ts": pd.to_datetime([0, 100 * us, 800 * us, 50 * us],
+                                 unit="ns").astype("datetime64[us]")})
+        ev["ts"] = pd.to_datetime([0, 100 * us, 800 * us, 50 * us],
+                                  unit="us")
+        d = tmp_path / "sf"
+        d.mkdir()
+        ev.to_parquet(d / "events.parquet")
+        got = throttle_events(str(d), gap_s=600).to_pandas()
+        # a@0 kept; a@100s dropped (<=600s after prev raw); a@800s kept
+        # (700s after prev raw a@100s); b kept (own stream)
+        assert sorted(got["event_id"]) == [0, 2, 3]
