@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_eval": C.clustering_eval,
         "blocking_stats": C.blocking_stats,
         "fs_weights": C.fs_weights,
+        "golden_records": C.golden_records,
         "embedding_near_dups": C.embedding_near_dups,
         "embedding_near_dups_lsh": C.embedding_near_dups_lsh,
         # --- similarity search / vector pooling ---
@@ -1705,6 +1706,49 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_unmatch > 0 THEN
                        CAST(au_size AS DOUBLE) / n_unmatch ELSE 0.0 END
             FROM agg""",
+        # survivorship merge: one golden record per dedup cluster with
+        # deterministic rules (arg_min name, tie-broken mode brand, max)
+        "golden_records": """
+            WITH RECURSIVE rk AS (
+                SELECT p_partkey AS id, p_name AS name,
+                       ROW_NUMBER() OVER (ORDER BY p_name,
+                                          p_partkey) AS rn
+                FROM part
+            ), edges AS (
+                SELECT a.id AS a, b.id AS b
+                FROM rk a JOIN rk b ON b.rn - a.rn BETWEEN 1 AND 5
+                WHERE damerau_levenshtein(a.name, b.name) <= 4
+            ), sym AS (
+                SELECT a, b FROM edges
+                UNION SELECT b AS a, a AS b FROM edges
+            ), reach(src, node) AS (
+                SELECT p_partkey, p_partkey FROM part
+                UNION
+                SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+            ), assign AS (
+                SELECT src AS p_partkey, MIN(node) AS cluster_id
+                FROM reach GROUP BY src
+            ), j AS (
+                SELECT a.cluster_id, p.p_partkey, p.p_name, p.p_brand,
+                       p.p_size
+                FROM assign a JOIN part p USING (p_partkey)
+            ), bc AS (
+                SELECT cluster_id, p_brand, COUNT(*) AS c
+                FROM j GROUP BY cluster_id, p_brand
+            ), bm AS (
+                SELECT b1.cluster_id, MIN(b1.p_brand) AS mode_brand
+                FROM bc b1
+                WHERE b1.c = (SELECT MAX(c) FROM bc b2
+                              WHERE b2.cluster_id = b1.cluster_id)
+                GROUP BY b1.cluster_id
+            )
+            SELECT j.cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   arg_min(j.p_name, j.p_partkey) AS canonical_name,
+                   MIN(bm.mode_brand) AS mode_brand,
+                   CAST(MAX(j.p_size) AS BIGINT) AS max_size
+            FROM j JOIN bm ON bm.cluster_id = j.cluster_id
+            GROUP BY j.cluster_id""",
         "embedding_near_dups": """
             SELECT * FROM (
                 SELECT a.vec_id AS left_vec, b.vec_id AS right_vec,

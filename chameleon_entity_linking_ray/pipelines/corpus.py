@@ -2160,3 +2160,58 @@ def fs_weights(sf_dir: str, window: int = 6) -> Dataset:
     partials = pairs.map_batches(partial, batch_format="pyarrow")
     out = _fs_fold.remote(*partials.to_arrow_refs())
     return ray.data.from_arrow_refs([out])
+
+
+def golden_records(sf_dir: str, window: int = 6, cap: int = 4,
+                   num_buckets: int = 32) -> Dataset:
+    """Survivorship merge — the final step of the entity-resolution
+    lifecycle (block -> match -> cluster -> CANONICALIZE): one golden
+    record per ``dedup_parts_snm`` cluster with deterministic
+    survivorship rules: canonical name = the minimum member id's name
+    (arg_min), brand = deterministic mode (most frequent, lexicographic
+    min on ties), size = max, plus the member count. One bucket shuffle
+    on cluster_id; every rule is tie-deterministic, so the table is
+    hash-exact vs SQL.
+    """
+    from chameleon_entity_linking_ray.stages.joins import (
+        broadcast_hash_join,
+    )
+
+    assigned = dedup_parts_snm(sf_dir, window=window, cap=cap) \
+        .select_columns(["p_partkey", "cluster_id"])
+    part = read_table(sf_dir, "part",
+                      ["p_partkey", "p_name", "p_brand", "p_size"])
+    j = broadcast_hash_join(assigned, part, on=("p_partkey",),
+                            right_on=("p_partkey",), join_type="inner")
+
+    def cbucket(batch: pa.Table) -> pa.Table:
+        c = batch.column("cluster_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array((mix64(c, seed=107)
+                                % np.uint64(num_buckets)).astype(np.int32),
+                               pa.int32()))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"cluster_id": pd.Series(dtype=np.int64),
+                "n_members": pd.Series(dtype=np.int64),
+                "canonical_name": pd.Series(dtype=object),
+                "mode_brand": pd.Series(dtype=object),
+                "max_size": pd.Series(dtype=np.int64)}
+        if len(g) == 0:
+            return pd.DataFrame(cols)
+        outs = []
+        for cid, sub in g.groupby("cluster_id", sort=False):
+            sub = sub.sort_values("p_partkey", kind="mergesort")
+            vc = sub.groupby("p_brand")["p_brand"].count()
+            top = vc[vc == vc.max()].index.min()
+            outs.append({
+                "cluster_id": int(cid),
+                "n_members": len(sub),
+                "canonical_name": sub["p_name"].iloc[0],
+                "mode_brand": top,
+                "max_size": int(sub["p_size"].max())})
+        return pd.DataFrame(outs)
+
+    return j.map_batches(cbucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")

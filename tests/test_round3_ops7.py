@@ -521,3 +521,30 @@ class TestMadTiesThrottle:
         # a@0 kept; a@100s dropped (<=600s after prev raw); a@800s kept
         # (700s after prev raw a@100s); b kept (own stream)
         assert sorted(got["event_id"]) == [0, 2, 3]
+
+
+class TestGoldenRecords:
+    def test_survivorship_rules(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.corpus import (
+            golden_records,
+        )
+        df = pd.DataFrame({
+            "p_partkey": np.arange(5, dtype=np.int64),
+            "p_name": ["acme corp", "acme corp!", "acme cor",
+                       "zeta ltd", "zeta ltd"],
+            "p_brand": ["b2", "b1", "b1", "b9", "b3"],
+            "p_size": np.array([3, 9, 1, 4, 2], np.int32)})
+        d = tmp_path / "sf"
+        d.mkdir()
+        df.to_parquet(d / "part.parquet")
+        got = golden_records(str(d), window=3, cap=4).to_pandas() \
+            .set_index("cluster_id").sort_index()
+        # cluster 0: ids 0,1,2 (names within dl<=4 of sort neighbors)
+        assert got.loc[0, "n_members"] == 3
+        assert got.loc[0, "canonical_name"] == "acme corp"  # min id's
+        assert got.loc[0, "mode_brand"] == "b1"  # 2x b1 beats 1x b2
+        assert got.loc[0, "max_size"] == 9
+        # cluster 3: exact dup names, brand tie -> lexicographic min
+        assert got.loc[3, "n_members"] == 2
+        assert got.loc[3, "mode_brand"] == "b3"
+        assert got.loc[3, "max_size"] == 4
