@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad": A.value_mad,
         "top_orders_ties": A.top_orders_ties,
         "throttle_events": A.throttle_events,
+        "merge_upsert": A.merge_upsert,
+        "snapshot_diff": A.snapshot_diff,
         "row_number_orders": A.row_number_orders,
         "user_gaps": A.user_gaps,
         "segment_stats": A.segment_stats,
@@ -748,6 +750,45 @@ def oracle_sql() -> dict[str, str]:
                   FROM e)
             SELECT event_id, user_id, event_type, ts_us FROM l
             WHERE prev IS NULL OR ts_us - prev > 600000000""",
+        # SQL MERGE / upsert: change side wins per key, unmatched rows
+        # from both sides survive (change set derived from orders)
+        "merge_upsert": """
+            WITH base AS (SELECT o_orderkey,
+                                 CAST(trunc(o_totalprice*100) AS BIGINT)
+                                     AS total_c
+                          FROM orders),
+            chg AS (
+                SELECT o_orderkey, total_c + 100 AS total_c FROM base
+                WHERE o_orderkey % 2 = 1
+                UNION ALL
+                SELECT o_orderkey + 1000000000, total_c FROM base
+                WHERE o_orderkey < 100)
+            SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   COALESCE(c.total_c, b.total_c) AS total_c
+            FROM base b FULL OUTER JOIN chg c
+              ON b.o_orderkey = c.o_orderkey""",
+        # CDC diff: ADDED / CHANGED rows only (change-proportional)
+        "snapshot_diff": """
+            WITH base AS (SELECT o_orderkey,
+                                 CAST(trunc(o_totalprice*100) AS BIGINT)
+                                     AS total_c
+                          FROM orders),
+            chg AS (
+                SELECT o_orderkey, total_c + 100 AS total_c FROM base
+                WHERE o_orderkey % 2 = 1
+                UNION ALL
+                SELECT o_orderkey + 1000000000, total_c FROM base
+                WHERE o_orderkey < 100),
+            nw AS (SELECT COALESCE(c.o_orderkey, b.o_orderkey)
+                              AS o_orderkey,
+                          COALESCE(c.total_c, b.total_c) AS total_c
+                   FROM base b FULL OUTER JOIN chg c
+                     ON b.o_orderkey = c.o_orderkey)
+            SELECT n.o_orderkey, b.total_c AS old_c, n.total_c AS new_c,
+                   CASE WHEN b.o_orderkey IS NULL THEN 'ADDED'
+                        ELSE 'CHANGED' END AS status
+            FROM nw n LEFT JOIN base b ON b.o_orderkey = n.o_orderkey
+            WHERE b.o_orderkey IS NULL OR b.total_c != n.total_c""",
         # global CDF: tie-deterministic CUME_DIST; int/int division is
         # bit-identical IEEE double on both engines
         "cume_dist_orders": """

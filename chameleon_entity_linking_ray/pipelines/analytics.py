@@ -2131,3 +2131,144 @@ def throttle_events(sf_dir: str, gap_s: int = 600,
 
     return ev.map_batches(prep, batch_format="pyarrow") \
         .groupby("bucket").map_groups(keep, batch_format="pandas")
+
+
+def _orders_changes(sf_dir: str) -> Dataset:
+    """Deterministic synthetic change set for the table-maintenance ops:
+    every order with odd orderkey gets total_c + 100 (an UPDATE), and a
+    shifted copy of orders with orderkey < 100 arrives as new rows
+    (INSERTs, keys offset by 10^9). Derived from the input tables only —
+    no external data."""
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def make(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tc = _cents(batch.column("o_totalprice")) \
+            .to_numpy(zero_copy_only=False)
+        upd = k % 2 == 1
+        new = k < 100
+        keys = np.concatenate([k[upd], k[new] + 1_000_000_000])
+        vals = np.concatenate([tc[upd] + 100, tc[new]])
+        return pa.table({"o_orderkey": pa.array(keys, pa.int64()),
+                         "total_c": pa.array(vals, pa.int64())})
+
+    return orders.map_batches(make, batch_format="pyarrow")
+
+
+def merge_upsert(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """SQL MERGE / upsert: apply a change set to the orders table —
+    matched keys take the change's value, unmatched change rows insert,
+    unmatched base rows carry over. The table-maintenance primitive
+    every incremental pipeline needs, expressed as ONE bucketed
+    full-outer merge (both sides hashed on the key, per-bucket
+    vectorized combine) — no driver materialization of either side.
+    """
+    from chameleon_entity_linking_ray.functions.hashing import mix64
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def base_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "total_c": _cents(batch.column("o_totalprice")),
+            "side": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())})
+
+    def chg_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "total_c": batch.column("total_c").cast(pa.int64()),
+            "side": pa.array(np.ones(batch.num_rows, np.int8), pa.int8())})
+
+    tagged = orders.map_batches(base_prep, batch_format="pyarrow") \
+        .union(_orders_changes(sf_dir).map_batches(chg_prep,
+                                                   batch_format="pyarrow"))
+
+    def kbucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array((mix64(k, seed=109)
+                                % np.uint64(num_buckets)).astype(np.int32),
+                               pa.int32()))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                                 "total_c": pd.Series(dtype=np.int64)})
+        # change side (1) wins per key: sort by (key, side), keep last
+        g = g.sort_values(["o_orderkey", "side"], kind="mergesort")
+        return g.drop_duplicates(subset=["o_orderkey"], keep="last") \
+            [["o_orderkey", "total_c"]]
+
+    return tagged.map_batches(kbucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(combine, batch_format="pandas")
+
+
+def snapshot_diff(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """Change-data-capture diff between the orders table and its
+    post-merge snapshot: one row per key with status ADDED / CHANGED
+    (UNCHANGED rows are suppressed — at 100 TB the diff output must be
+    change-proportional, never table-proportional). Same single
+    bucketed full-outer merge shape as ``merge_upsert``.
+    """
+    from chameleon_entity_linking_ray.functions.hashing import mix64
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def base_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "v": _cents(batch.column("o_totalprice")),
+            "side": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())})
+
+    new = merge_upsert(sf_dir)
+
+    def new_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+            "v": batch.column("total_c").cast(pa.int64()),
+            "side": pa.array(np.ones(batch.num_rows, np.int8), pa.int8())})
+
+    tagged = orders.map_batches(base_prep, batch_format="pyarrow") \
+        .union(new.map_batches(new_prep, batch_format="pyarrow"))
+
+    def kbucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array((mix64(k, seed=113)
+                                % np.uint64(num_buckets)).astype(np.int32),
+                               pa.int32()))
+
+    def diff(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            e64 = pa.array([], pa.int64())
+            return pa.table({"o_orderkey": e64, "old_c": e64,
+                             "new_c": e64,
+                             "status": pa.array([], pa.string())})
+        p = g.pivot_table(index="o_orderkey", columns="side", values="v",
+                          aggfunc="first")
+        p = p.rename(columns={0: "old_c", 1: "new_c"}).reset_index()
+        if "old_c" not in p:
+            p["old_c"] = np.nan
+        if "new_c" not in p:
+            p["new_c"] = np.nan
+        added = p["old_c"].isna() & p["new_c"].notna()
+        changed = p["old_c"].notna() & p["new_c"].notna() \
+            & (p["old_c"] != p["new_c"])
+        keep = p[added | changed]
+        old = keep["old_c"].to_numpy(np.float64)
+        miss = np.isnan(old)
+        return pa.table({
+            "o_orderkey": pa.array(keep["o_orderkey"].to_numpy(np.int64),
+                                   pa.int64()),
+            "old_c": pa.array(np.where(miss, 0, old).astype(np.int64),
+                              pa.int64(), mask=miss),
+            "new_c": pa.array(keep["new_c"].to_numpy(np.int64),
+                              pa.int64()),
+            "status": pa.array(np.where(miss, "ADDED", "CHANGED"),
+                               pa.string())})
+
+    return tagged.map_batches(kbucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(diff, batch_format="pandas")

@@ -548,3 +548,30 @@ class TestGoldenRecords:
         assert got.loc[3, "n_members"] == 2
         assert got.loc[3, "mode_brand"] == "b3"
         assert got.loc[3, "max_size"] == 4
+
+
+class TestMergeAndDiff:
+    def test_merge_semantics(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            merge_upsert, snapshot_diff,
+        )
+        od = pd.DataFrame({
+            "o_orderkey": np.array([1, 2, 200], np.int64),
+            "o_totalprice": [10.0, 20.0, 30.0]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        od.to_parquet(d / "orders.parquet")
+        got = merge_upsert(str(d)).to_pandas() \
+            .set_index("o_orderkey")["total_c"].sort_index()
+        # key1 odd -> updated +100c; key2 even -> unchanged; key200
+        # unchanged; keys 1,2 < 100 -> inserted copies at +1e9
+        assert got[1] == 1100 and got[2] == 2000 and got[200] == 3000
+        assert got[1_000_000_001] == 1000 and got[1_000_000_002] == 2000
+        assert len(got) == 5
+        diff = snapshot_diff(str(d)).to_pandas() \
+            .set_index("o_orderkey").sort_index()
+        assert diff.loc[1, "status"] == "CHANGED"
+        assert diff.loc[1, "old_c"] == 1000 and diff.loc[1, "new_c"] == 1100
+        assert (diff.loc[[1_000_000_001, 1_000_000_002], "status"]
+                == "ADDED").all()
+        assert 2 not in diff.index and 200 not in diff.index
