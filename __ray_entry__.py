@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_events": A.throttle_events,
         "merge_upsert": A.merge_upsert,
         "snapshot_diff": A.snapshot_diff,
+        "user_value_history": A.user_value_history,
         "row_number_orders": A.row_number_orders,
         "user_gaps": A.user_gaps,
         "segment_stats": A.segment_stats,
@@ -789,6 +790,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'CHANGED' END AS status
             FROM nw n LEFT JOIN base b ON b.o_orderkey = n.o_orderkey
             WHERE b.o_orderkey IS NULL OR b.total_c != n.total_c""",
+        # SCD2 validity intervals via LEAD over the unique order key
+        "user_value_history": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                              CAST(trunc(value*100) AS BIGINT) AS value_c
+                       FROM events WHERE value IS NOT NULL)
+            SELECT user_id, event_id, value_c,
+                   ts_us AS valid_from_us,
+                   LEAD(ts_us) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS valid_to_us
+            FROM e""",
         # global CDF: tie-deterministic CUME_DIST; int/int division is
         # bit-identical IEEE double on both engines
         "cume_dist_orders": """

@@ -2272,3 +2272,57 @@ def snapshot_diff(sf_dir: str, num_buckets: int = 32) -> Dataset:
 
     return tagged.map_batches(kbucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(diff, batch_format="pandas")
+
+
+def user_value_history(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """SCD2-style history build: each user's event stream becomes
+    validity intervals — every event's value is current from its
+    timestamp until the user's next event (NULL for the open current
+    row). The slowly-changing-dimension table every warehouse derives
+    from change streams; SQL's LEAD window. One bucket shuffle per user;
+    the kernel is a sort + one shifted compare over the unique
+    (ts_us, event_id) order key, so intervals are deterministic.
+    """
+    from chameleon_entity_linking_ray.functions.hashing import mix64
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id",
+                                       "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column("value")))
+        uid = t.column("user_id").cast(pa.int64()).combine_chunks()
+        u = uid.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": uid,
+            "event_id": t.column("event_id").cast(pa.int64()),
+            "ts_us": t.column("ts").cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "value_c": _cents(t.column("value")),
+            "bucket": pa.array((mix64(u.astype(np.uint64), seed=127)
+                                % np.uint64(num_buckets)).astype(np.int32),
+                               pa.int32())})
+
+    def history(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            e64 = pa.array([], pa.int64())
+            return pa.table({"user_id": e64, "event_id": e64,
+                             "value_c": e64, "valid_from_us": e64,
+                             "valid_to_us": e64})
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        nxt_same = np.r_[uid[1:] == uid[:-1], False]
+        nxt_ts = np.r_[ts[1:], 0]
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "event_id": pa.array(g["event_id"].to_numpy(np.int64),
+                                 pa.int64()),
+            "value_c": pa.array(g["value_c"].to_numpy(np.int64),
+                                pa.int64()),
+            "valid_from_us": pa.array(ts, pa.int64()),
+            "valid_to_us": pa.array(np.where(nxt_same, nxt_ts, 0),
+                                    pa.int64(), mask=~nxt_same)})
+
+    return ev.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(history, batch_format="pandas")

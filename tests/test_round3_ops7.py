@@ -575,3 +575,25 @@ class TestMergeAndDiff:
         assert (diff.loc[[1_000_000_001, 1_000_000_002], "status"]
                 == "ADDED").all()
         assert 2 not in diff.index and 200 not in diff.index
+
+
+class TestUserValueHistory:
+    def test_intervals(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            user_value_history,
+        )
+        ev = pd.DataFrame({
+            "user_id": [1, 1, 2],
+            "event_id": np.arange(3, dtype=np.int64),
+            "value": [1.0, 2.0, 5.0],
+            "ts": pd.to_datetime([100, 300, 50], unit="us")})
+        d = tmp_path / "sf"
+        d.mkdir()
+        ev.to_parquet(d / "events.parquet")
+        got = user_value_history(str(d)).to_pandas() \
+            .set_index("event_id").sort_index()
+        assert got.loc[0, "valid_from_us"] == 100
+        assert got.loc[0, "valid_to_us"] == 300
+        assert pd.isna(got.loc[1, "valid_to_us"])  # open current row
+        assert pd.isna(got.loc[2, "valid_to_us"])
+        assert got.loc[2, "value_c"] == 500
