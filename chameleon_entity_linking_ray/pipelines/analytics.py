@@ -1752,7 +1752,9 @@ def event_lift(sf_dir: str, num_buckets: int = 32) -> Dataset:
     from chameleon_entity_linking_ray.stages.agg import distinct, grouped_agg
 
     ev = read_table(sf_dir, "events", ["user_id", "event_type"])
-    ut = distinct(ev, ["user_id", "event_type"])
+    # consumed three times (pair gen, per-type counts, user count):
+    # materialize once instead of re-executing the read+dedup lineage
+    ut = distinct(ev, ["user_id", "event_type"]).materialize()
 
     def ubucket(batch: pa.Table) -> pa.Table:
         u = batch.column("user_id").cast(pa.int64()).to_numpy(
@@ -1791,7 +1793,7 @@ def event_lift(sf_dir: str, num_buckets: int = 32) -> Dataset:
 
     singles = grouped_agg(ut, keys=["event_type"],
                           aggs={"n": (None, "count")}).to_pandas()
-    n_users = int(distinct(ev, ["user_id"]).count())
+    n_users = int(distinct(ut, ["user_id"]).count())
     counts_ref = ray.put((dict(zip(singles["event_type"], singles["n"])),
                           n_users))
 
