@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_upsert": A.merge_upsert,
         "snapshot_diff": A.snapshot_diff,
         "user_value_history": A.user_value_history,
+        "lineitem_big_orders": A.lineitem_big_orders,
         "row_number_orders": A.row_number_orders,
         "user_gaps": A.user_gaps,
         "segment_stats": A.segment_stats,
@@ -800,6 +801,15 @@ def oracle_sql() -> dict[str, str]:
                    LEAD(ts_us) OVER (PARTITION BY user_id
                        ORDER BY ts_us, event_id) AS valid_to_us
             FROM e""",
+        # Bloom-prefiltered semi-join == plain semi-join (exact cleanup)
+        "lineitem_big_orders": """
+            SELECT l_orderkey, l_partkey,
+                   CAST(trunc(l_extendedprice*100) AS BIGINT) AS price_c
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders
+                WHERE CAST(trunc(o_totalprice*100) AS BIGINT)
+                      > 40000000)""",
         # global CDF: tie-deterministic CUME_DIST; int/int division is
         # bit-identical IEEE double on both engines
         "cume_dist_orders": """

@@ -2328,3 +2328,38 @@ def user_value_history(sf_dir: str, num_buckets: int = 32) -> Dataset:
 
     return ev.map_batches(prep, batch_format="pyarrow") \
         .groupby("bucket").map_groups(history, batch_format="pandas")
+
+
+def lineitem_big_orders(sf_dir: str,
+                        threshold_c: int = 40_000_000) -> Dataset:
+    """Semi-join surface with the BLOOM PREFILTER primitive
+    (stages/joins.py:bloom_semi_join): lineitem rows whose order total
+    clears ``threshold_c`` cents. The key side folds into a fixed-size
+    bitmap (combiner OR-merge) instead of a broadcast key set — the
+    semi-join shape that still works when the key set itself is
+    table-scale. Exact answer (Bloom false positives removed by the
+    exact pass), so the plain SQL semi-join is the oracle.
+    """
+    from chameleon_entity_linking_ray.stages.joins import bloom_semi_join
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def big(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": batch.column("o_orderkey")
+                      .cast(pa.int64()),
+                      "total_c": _cents(batch.column("o_totalprice"))})
+        return t.filter(pc.greater(t.column("total_c"), threshold_c))
+
+    keys = orders.map_batches(big, batch_format="pyarrow")
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_partkey", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
+            "l_partkey": batch.column("l_partkey").cast(pa.int64()),
+            "price_c": _cents(batch.column("l_extendedprice"))})
+
+    return bloom_semi_join(li.map_batches(prep, batch_format="pyarrow"),
+                           keys, key_col="l_orderkey",
+                           keys_col="o_orderkey")

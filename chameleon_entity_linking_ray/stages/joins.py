@@ -245,3 +245,70 @@ def broadcast_hash_join(large: Dataset, small: Dataset, on: tuple[str, ...],
                                     preserve_index=False)
 
     return large.map_batches(merge, batch_format="pyarrow")
+
+
+_BLOOM_SEEDS = (131, 137, 139, 149)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int) -> list[np.ndarray]:
+    """k hash positions per key (mix64 with fixed seeds) — deterministic,
+    so build and probe agree across processes."""
+    from chameleon_entity_linking_ray.functions.hashing import mix64
+    u = keys.astype(np.uint64)
+    return [(mix64(u, seed=s) % np.uint64(m_bits)).astype(np.int64)
+            for s in _BLOOM_SEEDS]
+
+
+@ray.remote
+def _bloom_build(m_bits: int, *blocks) -> np.ndarray:
+    """OR-merge per-block key sets into one bitmap (uint64 words) — the
+    combiner-form Bloom build; the driver only ever holds the ref."""
+    words = np.zeros((m_bits + 63) // 64, np.uint64)
+    for b in blocks:
+        t = (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+        if t.num_rows == 0 or "key" not in t.column_names:
+            continue
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        for pos in _bloom_positions(k, m_bits):
+            np.bitwise_or.at(words, pos // 64,
+                             np.uint64(1) << (pos % 64).astype(np.uint64))
+    return words
+
+
+def bloom_semi_join(large: Dataset, keys_ds: Dataset, key_col: str,
+                    keys_col: str | None = None,
+                    m_bits: int = 1 << 20) -> Dataset:
+    """Semi-join with a BLOOM PREFILTER: the key side folds into an
+    ``m_bits`` bitmap in a worker task (combiner OR-merge — constant-size
+    state per block, unlike a broadcast key SET which grows with the key
+    count), every large-side batch probes the broadcast bitmap
+    map-side, and the surviving superset (false positives only) takes
+    the EXACT semi-join. Same answer as a plain semi-join — the Bloom
+    pass only changes how many rows reach the exact stage, which is the
+    point at 100 TB: the bitmap stays a few MB however many keys exist,
+    and the exact pass sees survivors, not the table.
+    """
+    keys_col = keys_col or key_col
+
+    def as_key(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column(keys_col).cast(pa.int64())})
+
+    keyed = keys_ds.map_batches(as_key, batch_format="pyarrow")
+    bloom_ref = _bloom_build.remote(m_bits, *keyed.to_arrow_refs())
+
+    def probe(batch: pa.Table) -> pa.Table:
+        words = ray.get(bloom_ref)  # zero-copy shared-memory read
+        k = batch.column(key_col).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hit = np.ones(len(k), bool)
+        for pos in _bloom_positions(k, m_bits):
+            bits = (words[pos // 64] >> (pos % 64).astype(np.uint64)) \
+                & np.uint64(1)
+            hit &= bits.astype(bool)
+        return batch.filter(pa.array(hit))
+
+    survivors = large.map_batches(probe, batch_format="pyarrow")
+    # exact cleanup: false positives out (broadcast set here; swap for a
+    # bucketed hash semi-join when the key set outgrows a broadcast)
+    return semi_join_ds(survivors, keyed, key_col, keys_col="key")
