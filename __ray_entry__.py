@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": A.snapshot_diff,
         "user_value_history": A.user_value_history,
         "lineitem_big_orders": A.lineitem_big_orders,
+        "zorder_parts": A.zorder_parts,
         "row_number_orders": A.row_number_orders,
         "user_gaps": A.user_gaps,
         "segment_stats": A.segment_stats,
@@ -278,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_ids": T.redact_ids,
         "sample_documents": T.sample_documents,
         "weighted_sample": T.weighted_sample,
+        "dataset_split": T.dataset_split,
         "stratified_sample": T.stratified_sample,
         "pack_sequences": T.pack_sequences,
         "top_ngrams": T.top_ngrams,
@@ -810,6 +812,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey FROM orders
                 WHERE CAST(trunc(o_totalprice*100) AS BIGINT)
                       > 40000000)""",
+        # Z-order / Morton clustering key: exact integer bit interleave
+        "zorder_parts": """
+            WITH p AS (SELECT p_partkey,
+                              LEAST(CAST(p_size AS BIGINT), 65535) AS x,
+                              LEAST(CAST(trunc(p_retailprice*100)
+                                         AS BIGINT) // 100, 65535) AS y
+                       FROM part)
+            SELECT p_partkey, x, y,
+                   CAST((SELECT SUM((((x >> j) & 1) << (2*j))
+                                    + (((y >> j) & 1) << (2*j + 1)))
+                         FROM generate_series(0, 15) g(j)) AS BIGINT)
+                       AS zcode
+            FROM p""",
         # global CDF: tie-deterministic CUME_DIST; int/int division is
         # bit-identical IEEE double on both engines
         "cume_dist_orders": """
@@ -2044,6 +2059,15 @@ def oracle_sql() -> dict[str, str]:
                        FROM orders)
             SELECT o_orderkey, total_c FROM o
             WHERE u36 * 60000000 < total_c * 68719476736""",
+        # content-addressed train/val/test split: md5 hex ranges
+        "dataset_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 4) < 'e000' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 4) < 'f000' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
         "stratified_sample": """
             SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
             FROM (SELECT lang, doc_id,

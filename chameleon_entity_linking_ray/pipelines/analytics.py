@@ -2363,3 +2363,34 @@ def lineitem_big_orders(sf_dir: str,
     return bloom_semi_join(li.map_batches(prep, batch_format="pyarrow"),
                            keys, key_col="l_orderkey",
                            keys_col="o_orderkey")
+
+
+def zorder_parts(sf_dir: str, bits: int = 16) -> Dataset:
+    """Z-order (Morton) clustering key over (p_size, price-cents
+    bucket): the space-filling-curve layout key a lakehouse sorts files
+    by so multi-column range predicates prune together. Pure integer
+    bit-interleave (column values clamped to ``bits`` bits, x in even
+    positions, y in odd) — exact int64 arithmetic, so the code column is
+    hash-identical in SQL (generate_series bit expansion). Map-only;
+    the actual re-layout is a plain ``sort(zcode)`` on top.
+    """
+    part = read_table(sf_dir, "part", ["p_partkey", "p_size",
+                                       "p_retailprice"])
+    mask = (1 << bits) - 1
+
+    def code(batch: pa.Table) -> pa.Table:
+        x = np.minimum(batch.column("p_size").cast(pa.int64())
+                       .to_numpy(zero_copy_only=False), mask)
+        y = np.minimum(_cents(batch.column("p_retailprice"))
+                       .to_numpy(zero_copy_only=False) // 100, mask)
+        z = np.zeros(len(x), np.int64)
+        for j in range(bits):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return pa.table({
+            "p_partkey": batch.column("p_partkey").cast(pa.int64()),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "zcode": pa.array(z, pa.int64())})
+
+    return part.map_batches(code, batch_format="pyarrow")

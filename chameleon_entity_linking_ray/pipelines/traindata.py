@@ -1150,3 +1150,28 @@ def weighted_sample(sf_dir: str, wmax_c: int = 60_000_000) -> Dataset:
         return out.filter(pa.array(keep))
 
     return orders.map_batches(fn, batch_format="pyarrow")
+
+
+def dataset_split(sf_dir: str, val_hex: str = "e000",
+                  test_hex: str = "f000") -> Dataset:
+    """Deterministic train/val/test assignment: the first 4 md5 hex
+    chars of doc_id partition [0, ffff] into train / val / test ranges
+    (~87.5 / 6.25 / 6.25 here). Content-addressed like
+    ``sample_documents``, so the split survives resume / repartition /
+    re-shuffle and never leaks rows between splits across runs — the
+    property random splits lose the moment the corpus is rewritten.
+    Map-only, zero shuffle.
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keys = np.asarray([h[:4] for h in _md5_hex(ids)], dtype=object)
+        split = np.where(keys < val_hex, "train",
+                         np.where(keys < test_hex, "val", "test"))
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "lang": batch.column("lang").cast(pa.string()),
+            "split": pa.array(split, pa.string())})
+
+    return docs.map_batches(fn, batch_format="pyarrow")

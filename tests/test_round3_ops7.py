@@ -628,3 +628,35 @@ class TestBloomSemiJoin:
             hit &= ((words[pos // 64] >> (pos % 64).astype(np.uint64))
                     & np.uint64(1)).astype(bool)
         assert hit.all()
+
+
+class TestSplitAndZorder:
+    def test_split_partitions_everything(self):
+        from chameleon_entity_linking_ray.pipelines.traindata import (
+            dataset_split,
+        )
+        got = dataset_split("/root/testdata/sf0.001").to_pandas()
+        assert set(got["split"]) <= {"train", "val", "test"}
+        assert got["split"].value_counts()["train"] > len(got) * 0.7
+        again = dataset_split("/root/testdata/sf0.001").to_pandas()
+        assert got.sort_values("doc_id")["split"].tolist() == \
+            again.sort_values("doc_id")["split"].tolist()
+
+    def test_zorder_interleave(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            zorder_parts,
+        )
+        df = pd.DataFrame({"p_partkey": np.array([1, 2], np.int64),
+                           "p_size": np.array([0b101, 1], np.int32),
+                           "p_retailprice": [3.0, 0.0]})  # y = 3, 0
+        d = tmp_path / "sf"
+        d.mkdir()
+        df.to_parquet(d / "part.parquet")
+        got = zorder_parts(str(d)).to_pandas().set_index("p_partkey")
+        # x=5 (101), y=3 (011): interleave y1x1 y0x0 ... = 0b011011+...
+        # z = sum x_j<<2j | y_j<<(2j+1) = (1<<0)+(1<<2)*0+(1<<4) for x
+        x, y = 0b101, 0b11
+        z = sum(((x >> j) & 1) << (2 * j) for j in range(16)) \
+            + sum(((y >> j) & 1) << (2 * j + 1) for j in range(16))
+        assert got.loc[1, "zcode"] == z
+        assert got.loc[2, "zcode"] == 1  # x=1,y=0
