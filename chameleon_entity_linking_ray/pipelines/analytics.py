@@ -1876,8 +1876,11 @@ def cohort_retention(sf_dir: str, num_buckets: int = 32) -> Dataset:
     epoch-week indices (epoch_us // (7 * 86400 * 1e6)), so cohort and
     offset arithmetic is identical in SQL. Shape: one distinct
     (user, week) combiner, one per-user min (the cohort), a broadcast of
-    the tiny user->cohort map, then a final (cohort, offset) count — no
-    raw-event shuffle.
+    the user->cohort map, then a final (cohort, offset) count — no
+    raw-event shuffle. Partitioning assumption: the user->cohort map
+    fits a broadcast (O(users) narrow ints); past that, swap the
+    broadcast for a bucketed hash join on user_id (stages/joins.py) —
+    the surrounding combiners are already user-cardinality-proof.
     """
     from chameleon_entity_linking_ray.stages.agg import distinct, grouped_agg
 
