@@ -1793,6 +1793,14 @@ def event_lift(sf_dir: str, num_buckets: int = 32) -> Dataset:
 
     singles = grouped_agg(ut, keys=["event_type"],
                           aggs={"n": (None, "count")}).to_pandas()
+    if len(singles) == 0:  # empty input loses pandas columns entirely
+        return ray.data.from_arrow(pa.table({
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "n_both": pa.array([], pa.int64()),
+            "support": pa.array([], pa.float64()),
+            "confidence": pa.array([], pa.float64()),
+            "lift": pa.array([], pa.float64())}))
     n_users = int(distinct(ut, ["user_id"]).count())
     counts_ref = ray.put((dict(zip(singles["event_type"], singles["n"])),
                           n_users))
@@ -1896,6 +1904,10 @@ def cohort_retention(sf_dir: str, num_buckets: int = 32) -> Dataset:
                   ["user_id", "week"])
     cohorts = grouped_agg(uw, keys=["user_id"],
                           aggs={"cohort": ("week", "min")}).to_pandas()
+    if len(cohorts) == 0:  # empty input loses pandas columns entirely
+        e64 = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table({
+            "cohort_week": e64, "week_offset": e64, "n_users": e64}))
     ref = ray.put((cohorts["user_id"].to_numpy(np.int64),
                    cohorts["cohort"].to_numpy(np.int64)))
 
@@ -2016,6 +2028,8 @@ def _mad_fold(*blocks) -> np.int64:
              else pa.Table.from_pandas(b, preserve_index=False))
         if t.num_rows:
             frames.append(t.select(["v", "n"]).to_pandas())
+    if not frames:
+        return np.int64(-1)  # sentinel: empty input (caller emits 0 rows)
     df = pd.concat(frames).sort_values("v", kind="mergesort")
     vals = df["v"].to_numpy(np.int64)
     cum = np.cumsum(df["n"].to_numpy(np.int64))
@@ -2043,6 +2057,10 @@ def value_mad(sf_dir: str, num_buckets: int = 32) -> Dataset:
     c1 = grouped_agg(withc, keys=["v"], aggs={"n": (None, "count")},
                      num_buckets=num_buckets)
     med = int(ray.get(_mad_fold.remote(*c1.to_arrow_refs())))
+    if med == -1:  # empty input: emit the typed empty aggregate
+        e64 = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table({"median_c": e64,
+                                             "mad_c": e64}))
 
     def absdev(batch: pa.Table) -> pa.Table:
         v = batch.column("v").to_numpy(zero_copy_only=False)

@@ -660,3 +660,24 @@ class TestSplitAndZorder:
             + sum(((y >> j) & 1) << (2 * j + 1) for j in range(16))
         assert got.loc[1, "zcode"] == z
         assert got.loc[2, "zcode"] == 1  # x=1,y=0
+
+
+class TestEmptyInputRobustness:
+    def test_event_ops_survive_empty_table(self, tmp_path):
+        """Empty inputs lose Arrow schema through Ray groupbys — every
+        event-family op must emit a typed empty result, not crash."""
+        from chameleon_entity_linking_ray.pipelines import analytics as A
+        ev = pd.DataFrame({
+            "event_id": pd.Series(dtype=np.int64),
+            "user_id": pd.Series(dtype=np.int64),
+            "event_type": pd.Series(dtype=object),
+            "value": pd.Series(dtype=np.float64),
+            "ts": pd.Series(dtype="datetime64[us]")})
+        d = tmp_path / "sf"
+        d.mkdir()
+        ev.to_parquet(d / "events.parquet")
+        for name in ("funnel_events", "event_transitions",
+                     "throttle_events", "user_value_history",
+                     "outlier_events", "value_mad", "cohort_retention",
+                     "event_lift"):
+            assert getattr(A, name)(str(d)).count() == 0, name
