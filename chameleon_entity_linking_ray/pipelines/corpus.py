@@ -998,6 +998,9 @@ def fuzzy_dedup_assign(docs: Dataset, max_hamming: int = 3) -> Dataset:
         pairs.map_batches(as_edges, batch_format="pyarrow"))
 
     adf = assignments.to_pandas()
+    if len(adf) == 0:  # no matched pairs: empty frame loses its columns
+        adf = pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                            "cluster": pd.Series(dtype=np.int64)})
     nodes = adf["node"].to_numpy(np.int64)
     order_ix = np.argsort(nodes, kind="mergesort")
     ref = ray.put((nodes[order_ix],
@@ -1737,6 +1740,9 @@ def dedup_parts_snm(sf_dir: str, window: int = 6, cap: int = 4) -> Dataset:
     assignments, _stats = connected_components(edges)
 
     adf = assignments.to_pandas()
+    if len(adf) == 0:  # no matched pairs: empty frame loses its columns
+        adf = pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                            "cluster": pd.Series(dtype=np.int64)})
     nodes = adf["node"].to_numpy(np.int64)
     order_ix = np.argsort(nodes, kind="mergesort")
     ref = ray.put((nodes[order_ix],
@@ -1953,8 +1959,8 @@ def blocking_stats(sf_dir: str, window: int = 6) -> Dataset:
 
     tp_parts = name_counts.map_batches(tp_partial, batch_format="pyarrow") \
         .to_pandas()
-    true_pairs = int(tp_parts["tp"].sum())
-    n_records = int(tp_parts["n"].sum())
+    true_pairs = int(tp_parts["tp"].sum()) if len(tp_parts) else 0
+    n_records = int(tp_parts["n"].sum()) if len(tp_parts) else 0
     out = _blocking_fold.remote(true_pairs, n_records,
                                 *partials.to_arrow_refs())
     return ray.data.from_arrow_refs([out])

@@ -681,3 +681,24 @@ class TestEmptyInputRobustness:
                      "outlier_events", "value_mad", "cohort_retention",
                      "event_lift"):
             assert getattr(A, name)(str(d)).count() == 0, name
+
+
+class TestEmptyPartRobustness:
+    def test_er_ops_survive_empty_tables(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines import corpus as C
+        d = tmp_path / "sf"
+        d.mkdir()
+        pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64),
+                      "p_name": pd.Series(dtype=object),
+                      "p_brand": pd.Series(dtype=object),
+                      "p_type": pd.Series(dtype=object),
+                      "p_size": pd.Series(dtype=np.int32),
+                      "p_retailprice": pd.Series(dtype=np.float64)}) \
+            .to_parquet(d / "part.parquet")
+        pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                      "text": pd.Series(dtype=object)}) \
+            .to_parquet(d / "documents.parquet")
+        for name in ("snm_pairs", "soundex_parts", "damerau_pairs",
+                     "jw_name_pairs", "dedup_parts_snm", "golden_records",
+                     "fs_weights", "dedup_fuzzy_docs", "tf_cosine_pairs"):
+            getattr(C, name)(str(d)).count()  # must not raise
