@@ -1976,7 +1976,11 @@ def tf_cosine_pairs(sf_dir: str, threshold: float = 0.6,
     EXACT cosine over integer term frequencies. dot and the two squared
     norms are exact int64 sums (order-independent), sqrt is correctly
     rounded IEEE, and the final division mirrors the SQL expression — so
-    the raw doubles hash-match with no rounding anywhere.
+    the raw doubles hash-match with no rounding anywhere. Disposal
+    probes a broadcast (doc_id -> text) table assembled from block
+    refs; above a few million docs swap it for the schema-pinned
+    ``hash_join`` chain exactly as ``exact_jaccard_filter`` does past
+    its ``broadcast_threshold``.
     """
     from chameleon_entity_linking_ray.stages.blocking import _run_pairs
     from chameleon_entity_linking_ray.stages.joins import semi_join_ds
@@ -2121,7 +2125,9 @@ def fs_weights(sf_dir: str, window: int = 6) -> Dataset:
     Supervised closed-form estimates (counts/ratios), so unlike the EM
     fitting the reference-class systems use, every value is
     SQL-verifiable. Pair stream reduces map-side to one partial-count
-    row per block; attributes probe a broadcast sorted-array table.
+    row per block; attributes probe a broadcast sorted-array table
+    (dimension-table assumption — swap for a bucketed ``hash_join`` on
+    the pair ids when the attribute table outgrows a broadcast).
     """
     from chameleon_entity_linking_ray.stages.blocking import (
         sorted_neighborhood_pairs,
