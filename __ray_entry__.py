@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events": A.outlier_events,
         "value_mad": A.value_mad,
         "top_orders_ties": A.top_orders_ties,
+        "percent_rank_orders": A.percent_rank_orders,
         "throttle_events": A.throttle_events,
         "merge_upsert": A.merge_upsert,
         "snapshot_diff": A.snapshot_diff,
@@ -743,6 +744,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(RANK() OVER (ORDER BY total_c DESC) AS BIGINT)
                        AS rnk
             FROM o QUALIFY rnk <= 20""",
+        # PERCENT_RANK off the same broadcast CDF: (rank-1)/(n-1),
+        # exact ints into one division
+        "percent_rank_orders": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(trunc(o_totalprice*100) AS BIGINT)
+                                  AS total_c
+                       FROM orders)
+            SELECT o_orderkey, total_c,
+                   PERCENT_RANK() OVER (ORDER BY total_c) AS pct_rank
+            FROM o""",
         # LAG-based event throttling (de-bounce): keep iff no same
         # (user, type) event within gap_s before it
         "throttle_events": """

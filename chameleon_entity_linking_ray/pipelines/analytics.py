@@ -2415,3 +2415,32 @@ def zorder_parts(sf_dir: str, bits: int = 16) -> Dataset:
             "zcode": pa.array(z, pa.int64())})
 
     return part.map_batches(code, batch_format="pyarrow")
+
+
+def percent_rank_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
+    """Global ``PERCENT_RANK() OVER (ORDER BY total)`` — (rank - 1) /
+    (n - 1) with RANK from the same broadcast-CDF backbone as
+    ``rank_orders`` (no global sort; exact int arithmetic into one
+    final division, bit-identical in SQL). Completes the no-shuffle
+    window-function family: ROW_NUMBER/NTILE/RANK/DENSE_RANK/CUME_DIST/
+    PERCENT_RANK all off one O(distinct-values) combiner aggregate.
+    """
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "total_c": _cents(batch.column("o_totalprice"))})
+
+    withc = orders.map_batches(prep, batch_format="pyarrow")
+    ref = _cdf_ref(withc, num_buckets)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vals, cum, n = ray.get(ref)
+        tc = batch.column("total_c").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vals, tc, side="left")
+        below = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
+        pr = below.astype(np.float64) / float(n - 1) if n > 1 \
+            else np.zeros(len(tc), np.float64)
+        return batch.append_column("pct_rank", pa.array(pr, pa.float64()))
+
+    return withc.map_batches(attach, batch_format="pyarrow")

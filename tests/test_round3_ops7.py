@@ -702,3 +702,20 @@ class TestEmptyPartRobustness:
                      "jw_name_pairs", "dedup_parts_snm", "golden_records",
                      "fs_weights", "dedup_fuzzy_docs", "tf_cosine_pairs"):
             getattr(C, name)(str(d)).count()  # must not raise
+
+
+class TestPercentRank:
+    def test_bounds_and_ties(self, tmp_path):
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            percent_rank_orders,
+        )
+        od = pd.DataFrame({"o_orderkey": np.arange(5, dtype=np.int64),
+                           "o_totalprice": [1.0, 2.0, 2.0, 3.0, 4.0]})
+        d = tmp_path / "sf"
+        d.mkdir()
+        od.to_parquet(d / "orders.parquet")
+        got = percent_rank_orders(str(d)).to_pandas() \
+            .set_index("o_orderkey")["pct_rank"]
+        assert got[0] == 0.0
+        assert got[1] == got[2] == 1.0 / 4.0  # ties share (rank-1)/(n-1)
+        assert got[4] == 1.0
