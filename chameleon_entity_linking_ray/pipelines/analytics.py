@@ -2018,10 +2018,11 @@ def revenue_share(sf_dir: str) -> Dataset:
 
 
 @ray.remote
-def _mad_fold(*blocks) -> np.int64:
+def _mad_fold(*blocks):
     """PERCENTILE_DISC(0.5) over a (v, n) value-count table (min value
     whose cumulative count reaches n/2 — the segment_percentiles
-    convention)."""
+    convention). Returns None on empty input — values can legitimately
+    be any int (including negatives), so no in-band sentinel."""
     frames = []
     for b in blocks:
         t = (b if isinstance(b, pa.Table)
@@ -2029,12 +2030,11 @@ def _mad_fold(*blocks) -> np.int64:
         if t.num_rows:
             frames.append(t.select(["v", "n"]).to_pandas())
     if not frames:
-        return np.int64(-1)  # sentinel: empty input (caller emits 0 rows)
+        return None
     df = pd.concat(frames).sort_values("v", kind="mergesort")
     vals = df["v"].to_numpy(np.int64)
     cum = np.cumsum(df["n"].to_numpy(np.int64))
-    return np.int64(vals[np.searchsorted(cum, 0.5 * cum[-1],
-                                         side="left")])
+    return int(vals[np.searchsorted(cum, 0.5 * cum[-1], side="left")])
 
 
 def value_mad(sf_dir: str, num_buckets: int = 32) -> Dataset:
@@ -2056,8 +2056,8 @@ def value_mad(sf_dir: str, num_buckets: int = 32) -> Dataset:
     withc = ev.map_batches(prep, batch_format="pyarrow")
     c1 = grouped_agg(withc, keys=["v"], aggs={"n": (None, "count")},
                      num_buckets=num_buckets)
-    med = int(ray.get(_mad_fold.remote(*c1.to_arrow_refs())))
-    if med == -1:  # empty input: emit the typed empty aggregate
+    med = ray.get(_mad_fold.remote(*c1.to_arrow_refs()))
+    if med is None:  # empty input: emit the typed empty aggregate
         e64 = pa.array([], pa.int64())
         return ray.data.from_arrow(pa.table({"median_c": e64,
                                              "mad_c": e64}))
@@ -2069,7 +2069,7 @@ def value_mad(sf_dir: str, num_buckets: int = 32) -> Dataset:
     c2 = grouped_agg(withc.map_batches(absdev, batch_format="pyarrow"),
                      keys=["v"], aggs={"n": (None, "count")},
                      num_buckets=num_buckets)
-    mad = int(ray.get(_mad_fold.remote(*c2.to_arrow_refs())))
+    mad = ray.get(_mad_fold.remote(*c2.to_arrow_refs()))
     return ray.data.from_arrow(pa.table({
         "median_c": pa.array([med], pa.int64()),
         "mad_c": pa.array([mad], pa.int64())}))

@@ -974,16 +974,19 @@ def fuzzy_dedup_assign(docs: Dataset, max_hamming: int = 3) -> Dataset:
     its near-dup component, via ``stages/cluster.py`` CC — union-find
     fast path under the documented threshold, alternating-star shuffle
     loop above it) and ``keep`` = is this the component's canonical doc.
-    Singletons keep themselves. The assignment table is component-scale
-    (docs that matched something), broadcast once via ``ray.put`` into a
-    map-side join; at corpora where it outgrows a broadcast, swap in the
-    bucketed hash join exactly as pipelines/linkage.assign_clusters
-    does.
+    Singletons keep themselves. Assignment attach is
+    ``stages/cluster.attach_assignments`` — the threshold-or-join
+    pattern shared with ``pipelines/linkage.assign_clusters``:
+    broadcast below ``broadcast_threshold`` rows, bucketed hash join
+    above (on a 100 TB corpus with a high dup rate the assignment table
+    is proportional to the duplicated-doc count — it must never be
+    forced whole onto the driver).
 
     Oracle: recursive-CTE transitive closure + MIN reachable node — the
     SQL fixpoint the distributed CC must agree with exactly.
     """
     from chameleon_entity_linking_ray.stages.cluster import (
+        attach_assignments,
         connected_components,
     )
 
@@ -996,30 +999,7 @@ def fuzzy_dedup_assign(docs: Dataset, max_hamming: int = 3) -> Dataset:
 
     assignments, _stats = connected_components(
         pairs.map_batches(as_edges, batch_format="pyarrow"))
-
-    adf = assignments.to_pandas()
-    if len(adf) == 0:  # no matched pairs: empty frame loses its columns
-        adf = pd.DataFrame({"node": pd.Series(dtype=np.int64),
-                            "cluster": pd.Series(dtype=np.int64)})
-    nodes = adf["node"].to_numpy(np.int64)
-    order_ix = np.argsort(nodes, kind="mergesort")
-    ref = ray.put((nodes[order_ix],
-                   adf["cluster"].to_numpy(np.int64)[order_ix]))
-
-    def attach(batch: pa.Table) -> pa.Table:
-        snodes, sclusters = ray.get(ref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(snodes, ids)
-        pos = np.minimum(pos, max(len(snodes) - 1, 0))
-        hit = (len(snodes) > 0) & (snodes[pos] == ids) \
-            if len(snodes) else np.zeros(len(ids), bool)
-        cluster = np.where(hit, sclusters[pos] if len(snodes) else 0, ids)
-        out = batch.append_column("cluster_id",
-                                  pa.array(cluster.astype(np.int64)))
-        return out.append_column("keep", pa.array(cluster == ids,
-                                                  pa.bool_()))
-
-    return docs.map_batches(attach, batch_format="pyarrow")
+    return attach_assignments(docs, assignments, id_col="doc_id")
 
 
 def dedup_fuzzy_docs(sf_dir: str, max_hamming: int = 3) -> Dataset:
@@ -1422,6 +1402,8 @@ def _assemble_small(*blocks) -> pa.Table:
     # zero-row pandas blocks carry degenerate dtypes (object/float64)
     # that poison the concat schema — drop them
     nonempty = [t for t in tabs if t.num_rows > 0]
+    if not nonempty and not tabs:
+        raise ValueError("_assemble_small: dataset yielded zero blocks")
     return pa.concat_tables(nonempty or tabs[:1]).combine_chunks()
 
 
@@ -1503,10 +1485,14 @@ def rerank_bm25(sf_dir: str, k_retrieve: int = 50,
             return empty
         qn = m["query_id"].map({q: len(terms_by_q[q]) for q in qids}) \
             .to_numpy(np.int64)
-        im = np.choose(
-            m["query_id"].map({q: i for i, q in enumerate(qids)})
-            .to_numpy(np.int64),
-            [m[f"i_{q}"].to_numpy(np.int64) for q in qids])
+        # column-stack + take_along_axis (np.choose hard-caps at 32
+        # choice arrays — would break the day the query set grows)
+        qidx = m["query_id"].map({q: i for i, q in enumerate(qids)}) \
+            .to_numpy(np.int64)
+        im = np.take_along_axis(
+            np.stack([m[f"i_{q}"].to_numpy(np.int64) for q in qids],
+                     axis=1),
+            qidx[:, None], axis=1)[:, 0]
         union = m["distinct"].to_numpy(np.int64) + qn - im
         jac = im.astype(np.float64) / union.astype(np.float64)
         bm25 = m["score"].to_numpy(np.float64)
@@ -1581,7 +1567,11 @@ def damerau_pairs(sf_dir: str, cap: int = 10,
             "dl": pd.Series(dtype=np.int64)})
         if len(g) == 0:
             return out_empty
-        g = g.sort_values(["p_name", "p_partkey"], kind="mergesort")
+        # sort by tok FIRST so tok runs are contiguous by construction
+        # (not as an artifact of space sorting below alphanumerics in
+        # the name sort), matching jw_name_pairs; name runs stay
+        # contiguous because tok is a pure function of p_name
+        g = g.sort_values(["tok", "p_name", "p_partkey"], kind="mergesort")
         names = g["p_name"].to_numpy()
         toks = g["tok"].to_numpy()
         ids = g["p_partkey"].to_numpy().astype(np.int64)
@@ -1708,6 +1698,7 @@ def dedup_parts_snm(sf_dir: str, window: int = 6, cap: int = 4) -> Dataset:
         sorted_neighborhood_pairs,
     )
     from chameleon_entity_linking_ray.stages.cluster import (
+        attach_assignments,
         connected_components,
     )
     from chameleon_entity_linking_ray.stages.scoring import (
@@ -1738,31 +1729,15 @@ def dedup_parts_snm(sf_dir: str, window: int = 6, cap: int = 4) -> Dataset:
 
     edges = pairs.map_batches(match, batch_format="pyarrow")
     assignments, _stats = connected_components(edges)
+    assigned = attach_assignments(part, assignments, id_col="p_partkey")
 
-    adf = assignments.to_pandas()
-    if len(adf) == 0:  # no matched pairs: empty frame loses its columns
-        adf = pd.DataFrame({"node": pd.Series(dtype=np.int64),
-                            "cluster": pd.Series(dtype=np.int64)})
-    nodes = adf["node"].to_numpy(np.int64)
-    order_ix = np.argsort(nodes, kind="mergesort")
-    ref = ray.put((nodes[order_ix],
-                   adf["cluster"].to_numpy(np.int64)[order_ix]))
-
-    def attach(batch: pa.Table) -> pa.Table:
-        snodes, sclusters = ray.get(ref)
-        ids = batch.column("p_partkey").cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(snodes, ids)
-        pos = np.minimum(pos, max(len(snodes) - 1, 0))
-        hit = (snodes[pos] == ids) if len(snodes) \
-            else np.zeros(len(ids), bool)
-        cluster = np.where(hit, sclusters[pos] if len(snodes) else 0, ids)
+    def project(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "p_partkey": pa.array(ids, pa.int64()),
-            "cluster_id": pa.array(cluster.astype(np.int64), pa.int64()),
-            "keep": pa.array(cluster == ids, pa.bool_())})
+            "p_partkey": batch.column("p_partkey").cast(pa.int64()),
+            "cluster_id": batch.column("cluster_id"),
+            "keep": batch.column("keep")})
 
-    return part.map_batches(attach, batch_format="pyarrow")
+    return assigned.map_batches(project, batch_format="pyarrow")
 
 
 def jw_name_pairs(sf_dir: str, threshold: float = 0.85,

@@ -662,6 +662,8 @@ def edge_overlap(sf_dir: str) -> Dataset:
 
         def nbrs(v: int) -> np.ndarray:
             i = np.searchsorted(keys_s, v)
+            if i >= len(keys_s) or keys_s[i] != v:
+                return dst_s[:0]  # endpoint absent from the CSR keys
             return dst_s[bounds[i]: bounds[i + 1]]
 
         cn = np.empty(len(a), np.int64)

@@ -1,0 +1,138 @@
+"""Round-4 fix pins: attach_assignments threshold-or-join parity, the
+value_mad empty-sentinel removal (median == -1 is a legal value), the
+rerank take_along_axis rewrite (>32 queries), and damerau tok-run
+contiguity under explicit tok sort."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from chameleon_entity_linking_ray.stages.cluster import attach_assignments
+
+
+@pytest.fixture(scope="module")
+def sf0001():
+    return "/root/testdata/sf0.001"
+
+
+def _docs(ids):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([f"t{i}" for i in ids], pa.string()),
+    }))
+
+
+def _assign(pairs):
+    return rd.from_arrow(pa.table({
+        "node": pa.array([p[0] for p in pairs], pa.int64()),
+        "cluster": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+
+
+def test_attach_assignments_broadcast_vs_join_identical():
+    """The over-threshold hash-join path must produce exactly the same
+    (cluster_id, keep) rows as the broadcast path — forced with
+    broadcast_threshold=0."""
+    ids = list(range(10))
+    assigns = [(1, 0), (0, 0), (5, 3), (3, 3), (7, 3)]
+
+    def run(threshold):
+        out = attach_assignments(_docs(ids), _assign(assigns),
+                                 id_col="doc_id",
+                                 broadcast_threshold=threshold,
+                                 num_partitions=4).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    bcast = run(1_000_000)
+    joined = run(0)
+    pd.testing.assert_frame_equal(
+        bcast[["doc_id", "cluster_id", "keep"]],
+        joined[["doc_id", "cluster_id", "keep"]])
+    # singletons are their own cluster and kept
+    row9 = bcast[bcast.doc_id == 9].iloc[0]
+    assert row9.cluster_id == 9 and bool(row9.keep)
+    # matched nodes take the component min and only the min keeps
+    assert bcast[bcast.doc_id == 5].iloc[0].cluster_id == 3
+    assert not bool(bcast[bcast.doc_id == 5].iloc[0].keep)
+    assert bool(bcast[bcast.doc_id == 3].iloc[0].keep)
+
+
+def test_attach_assignments_empty_assignments():
+    out = attach_assignments(_docs([4, 2]), _assign([]), id_col="doc_id") \
+        .to_pandas().sort_values("doc_id")
+    assert list(out.cluster_id) == [2, 4]
+    assert out.keep.all()
+
+
+def test_dedup_fuzzy_join_path_matches_broadcast(sf0001):
+    """dedup_fuzzy_docs through the forced join path must hash-match its
+    own broadcast-path output (the oracle-pinned one)."""
+    from chameleon_entity_linking_ray.pipelines import corpus as cp
+    from chameleon_entity_linking_ray.stages.cluster import (
+        connected_components,
+    )
+    from chameleon_entity_linking_ray.pipelines.analytics import read_table
+
+    docs = read_table(sf0001, "documents", ["doc_id", "text"]).materialize()
+    pairs = cp.simhash_pairs_ds(docs, max_hamming=3)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch.column("doc_a").cast(pa.int64()),
+                         "v": batch.column("doc_b").cast(pa.int64())})
+
+    assignments, _ = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow"))
+    assignments = assignments.materialize()
+
+    def run(threshold):
+        return attach_assignments(docs, assignments, id_col="doc_id",
+                                  broadcast_threshold=threshold,
+                                  num_partitions=4) \
+            .select_columns(["doc_id", "cluster_id", "keep"]) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(10**9), run(0))
+
+
+def test_value_mad_negative_median():
+    """A value column whose median is exactly -1 cent must yield the
+    correct row, not the typed-empty table (-1 was the old sentinel)."""
+    import duckdb
+    import tempfile
+    import os
+
+    from chameleon_entity_linking_ray.pipelines.analytics import value_mad
+
+    with tempfile.TemporaryDirectory() as d:
+        vals = [-0.01, -0.01, -0.01, 5.0, -3.2]  # median cents = -1
+        pa.parquet.write_table(
+            pa.table({"event_id": pa.array(range(len(vals)), pa.int64()),
+                      "value": pa.array(vals, pa.float64())}),
+            os.path.join(d, "events.parquet"))
+        out = value_mad(d).to_pandas()
+        assert len(out) == 1
+        med = out.median_c.iloc[0]
+        assert med == -1
+        # MAD oracle via duckdb on |v - med|
+        con = duckdb.connect()
+        exp = con.sql(
+            "SELECT CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY "
+            "ABS(CAST(ROUND(value*100) AS BIGINT) - (-1))) AS BIGINT) "
+            f"FROM read_parquet('{d}/events.parquet')").fetchone()[0]
+        assert out.mad_c.iloc[0] == exp
+
+
+def test_edge_overlap_nbrs_guard():
+    """edge_overlap must not crash or mis-slice when a candidate endpoint
+    is absent from the CSR keys (one-direction edge sets)."""
+    from chameleon_entity_linking_ray.stages.graph import _build_csr
+    import ray
+
+    edges = pa.table({"src": pa.array([1, 1, 5], pa.int64()),
+                      "dst": pa.array([2, 3, 6], pa.int64())})
+    keys_s, bounds, dst_s = ray.get(_build_csr.remote(edges))
+    # endpoint 2 exists only as a dst: a guarded nbrs() returns empty
+    i = np.searchsorted(keys_s, 2)
+    assert i >= len(keys_s) or keys_s[i] != 2  # precondition of the bug
