@@ -1026,14 +1026,130 @@ def _cdf_assemble(*blocks) -> tuple[np.ndarray, np.ndarray, int]:
     return vals.astype(np.int64), cum.astype(np.int64), int(cum[-1])
 
 
-def _cdf_ref(withc: Dataset, num_buckets: int):
-    """Combiner value-count aggregate over ``total_c`` + worker-assembled
-    broadcast CDF — the O(distinct)-shuffle backbone shared by the
-    no-sort global window ops (CUME_DIST / RANK / DENSE_RANK)."""
-    counts = grouped_agg(withc, keys=["total_c"],
-                         aggs={"n": (None, "count")},
-                         num_buckets=num_buckets)
-    return _cdf_assemble.remote(*counts.to_arrow_refs())
+@ray.remote
+def _n_fold(*blocks) -> int:
+    """Total row count from the blocks of a (total_c, n) value-count
+    aggregate — only the int crosses back to the driver."""
+    tot = 0
+    for b in blocks:
+        t = (b if isinstance(b, pa.Table)
+             else pa.Table.from_pandas(b, preserve_index=False))
+        if t.num_rows:
+            tot += int(pc.sum(t.column("n")).as_py())
+    return tot
+
+
+def _window_counts(withc: Dataset, num_buckets: int = 32,
+                   broadcast_cap: int = 2_000_000,
+                   n_range_buckets: int = 256) -> tuple[Dataset, int]:
+    """The global-window backbone behind CUME_DIST / RANK / DENSE_RANK /
+    PERCENT_RANK / ROW_NUMBER / top-k-with-ties: returns ``withc`` plus
+    exact int64 columns ``w_lt`` (# rows with a strictly smaller
+    ``total_c``), ``w_le`` (# rows <=), ``w_dlt`` (# distinct values
+    strictly smaller), and the global row count ``n``.
+
+    Two execution paths behind a CARDINALITY PROBE on the value-count
+    aggregate (one combiner ``grouped_agg`` either way — the shuffle is
+    O(distinct values), never O(rows)):
+
+    - distinct <= ``broadcast_cap`` (bounded value domains — cents):
+      the sorted (value, cumulative-count) CDF is assembled in a worker
+      task and broadcast once; every batch attaches its counts with a
+      map-side searchsorted. Zero extra shuffle.
+    - beyond the cap (unbounded/continuous keys where distinct ~ rows —
+      a broadcast CDF would ship O(rows) to every task): range-bucketed
+      prefix sum, the ``traindata.exact_percentiles`` two-phase
+      dataflow. Per-range-bucket (rows, distinct) subtotals cumsum on
+      the driver (``n_range_buckets`` rows — a knob, never the data);
+      within-bucket prefix sums run distributed per bucket; the
+      resulting per-VALUE stat table joins back to the row stream with
+      one bucketed ``hash_join`` — an O(rows) shuffle instead of an
+      O(rows) broadcast.
+    """
+    from ray.data.aggregate import Max, Min
+
+    from chameleon_entity_linking_ray.stages.joins import hash_join
+
+    counts = grouped_agg(withc.select_columns(["total_c"]),
+                         keys=["total_c"], aggs={"n": (None, "count")},
+                         num_buckets=num_buckets).materialize()
+    n = ray.get(_n_fold.remote(*counts.to_arrow_refs()))
+    n_distinct = counts.count()
+
+    if n_distinct <= broadcast_cap:
+        ref = _cdf_assemble.remote(*counts.to_arrow_refs())
+
+        def attach(batch: pa.Table) -> pa.Table:
+            vals, cum, _n = ray.get(ref)
+            tc = batch.column("total_c").to_numpy(zero_copy_only=False)
+            pos_l = np.searchsorted(vals, tc, side="left")
+            pos_r = np.searchsorted(vals, tc, side="right")
+            lt = np.where(pos_l > 0, cum[np.maximum(pos_l - 1, 0)], 0)
+            le = np.where(pos_r > 0, cum[np.maximum(pos_r - 1, 0)], 0)
+            return batch.append_column(
+                "w_lt", pa.array(lt.astype(np.int64), pa.int64())
+            ).append_column(
+                "w_le", pa.array(le.astype(np.int64), pa.int64())
+            ).append_column(
+                "w_dlt", pa.array(pos_l.astype(np.int64), pa.int64()))
+
+        return withc.map_batches(attach, batch_format="pyarrow"), n
+
+    # ---- bucketed path: range partition the DISTINCT value table ----
+    mm = counts.aggregate(Min("total_c"), Max("total_c"))
+    lo, hi = int(mm["min(total_c)"]), int(mm["max(total_c)"])
+    width = max(1, (hi - lo) // n_range_buckets + 1)
+
+    def add_rbucket(batch: pa.Table) -> pa.Table:
+        v = batch.column("total_c").to_numpy(zero_copy_only=False)
+        rb = ((v - lo) // width).astype(np.int64)
+        return batch.append_column("rbucket", pa.array(rb, pa.int64()))
+
+    bcounts = counts.map_batches(add_rbucket,
+                                 batch_format="pyarrow").materialize()
+
+    def subtotal(batch: pa.Table) -> pa.Table:
+        rb = batch.column("rbucket").to_numpy(zero_copy_only=False)
+        ns = batch.column("n").to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(rb, return_inverse=True)
+        rows = np.zeros(len(ub), np.int64)
+        np.add.at(rows, inv, ns)
+        dv = np.bincount(inv, minlength=len(ub)).astype(np.int64)
+        return pa.table({"rbucket": pa.array(ub, pa.int64()),
+                         "rows": pa.array(rows, pa.int64()),
+                         "dv": pa.array(dv, pa.int64())})
+
+    sub = grouped_agg(bcounts.map_batches(subtotal, batch_format="pyarrow"),
+                      keys=["rbucket"],
+                      aggs={"rows": ("rows", "sum"), "dv": ("dv", "sum")}) \
+        .to_pandas().sort_values("rbucket")  # <= n_range_buckets rows
+    rbs = sub["rbucket"].to_numpy(np.int64)
+    below_rows = np.cumsum(sub["rows"].to_numpy(np.int64)) \
+        - sub["rows"].to_numpy(np.int64)
+    below_dv = np.cumsum(sub["dv"].to_numpy(np.int64)) \
+        - sub["dv"].to_numpy(np.int64)
+    off_ref = ray.put((rbs, below_rows, below_dv))
+
+    def bucket_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in
+                                 ("total_c", "w_lt", "w_le", "w_dlt")})
+        rbs_s, brows, bdv = ray.get(off_ref)
+        g = g.sort_values("total_c", kind="mergesort")
+        ns = g["n"].to_numpy(np.int64)
+        i = int(np.searchsorted(rbs_s, int(g["rbucket"].iloc[0])))
+        lt = int(brows[i]) + np.cumsum(ns) - ns
+        return pd.DataFrame({
+            "total_c": g["total_c"].to_numpy(np.int64),
+            "w_lt": lt,
+            "w_le": lt + ns,
+            "w_dlt": int(bdv[i]) + np.arange(len(ns), dtype=np.int64)})
+
+    vstats = bcounts.groupby("rbucket").map_groups(bucket_prefix,
+                                                   batch_format="pandas")
+    joined = hash_join(withc, vstats, on=("total_c",),
+                       num_partitions=num_buckets)
+    return joined, n
 
 
 def cume_dist_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
@@ -1050,10 +1166,10 @@ def cume_dist_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
     (# rows <= mine) / N as an exact int/int division — bit-identical in
     IEEE double on both engines.
 
-    Partitioning assumption: the distinct-value table fits a broadcast
-    (bounded by the value domain — cents here). Where it can't, swap the
-    broadcast for a range-bucketed prefix-sum (same two-phase dataflow
-    as traindata.exact_percentiles).
+    The broadcast holds while the distinct-value table is bounded (the
+    value domain — cents here); ``_window_counts``'s cardinality probe
+    swaps in the range-bucketed prefix-sum + join automatically beyond
+    its cap.
     """
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
@@ -1062,18 +1178,17 @@ def cume_dist_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
                          "total_c": _cents(batch.column("o_totalprice"))})
 
     withc = orders.map_batches(prep, batch_format="pyarrow")
-    ref = _cdf_ref(withc, num_buckets)
+    wds, n = _window_counts(withc, num_buckets)
 
     def attach(batch: pa.Table) -> pa.Table:
-        vals, cum, n = ray.get(ref)
-        tc = batch.column("total_c").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(vals, tc, side="right")
-        le = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
-        return batch.append_column(
-            "cume_dist", pa.array(le.astype(np.float64) / float(n),
-                                  pa.float64()))
+        le = batch.column("w_le").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "total_c": batch.column("total_c"),
+            "cume_dist": pa.array(le.astype(np.float64) / float(max(n, 1)),
+                                  pa.float64())})
 
-    return withc.map_batches(attach, batch_format="pyarrow")
+    return wds.map_batches(attach, batch_format="pyarrow")
 
 
 def rank_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
@@ -1096,19 +1211,18 @@ def rank_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
                          "total_c": _cents(batch.column("o_totalprice"))})
 
     withc = orders.map_batches(prep, batch_format="pyarrow")
-    ref = _cdf_ref(withc, num_buckets)
+    wds, _n = _window_counts(withc, num_buckets)
 
     def attach(batch: pa.Table) -> pa.Table:
-        vals, cum, _n = ray.get(ref)
-        tc = batch.column("total_c").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(vals, tc, side="left")
-        below = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
-        return batch.append_column(
-            "rnk", pa.array(below + 1, pa.int64())
-        ).append_column(
-            "drnk", pa.array(pos.astype(np.int64) + 1, pa.int64()))
+        lt = batch.column("w_lt").to_numpy(zero_copy_only=False)
+        dlt = batch.column("w_dlt").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "total_c": batch.column("total_c"),
+            "rnk": pa.array(lt + 1, pa.int64()),
+            "drnk": pa.array(dlt + 1, pa.int64())})
 
-    return withc.map_batches(attach, batch_format="pyarrow")
+    return wds.map_batches(attach, batch_format="pyarrow")
 
 
 def cube_revenue(sf_dir: str) -> Dataset:
@@ -1233,7 +1347,7 @@ def row_number_orders(sf_dir: str, n_tiles: int = 7,
     WITHOUT a global sort — the tie-broken completion of ``rank_orders``:
 
     - cross-value offsets come from the same broadcast CDF backbone
-      (``_cdf_ref``: one combiner value-count aggregate, O(distinct
+      (``_window_counts``: one combiner value-count aggregate, O(distinct
       values) shuffle);
     - within-tie order (rows sharing a total) is resolved by ONE hash
       shuffle of just the (total_c, o_orderkey) key pair — narrow rows,
@@ -1262,14 +1376,12 @@ def row_number_orders(sf_dir: str, n_tiles: int = 7,
         })
 
     withc = orders.map_batches(prep, batch_format="pyarrow")
-    ref = _cdf_ref(withc.select_columns(["total_c"]), num_buckets)
+    wds, n = _window_counts(withc, num_buckets)
 
     def rank_ties(g: pd.DataFrame) -> pd.DataFrame:
-        vals, cum, n = ray.get(ref)
         g = g.sort_values(["total_c", "o_orderkey"], kind="mergesort")
         tc = g["total_c"].to_numpy()
-        pos = np.searchsorted(vals, tc, side="left")
-        below = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
+        below = g["w_lt"].to_numpy(np.int64)
         tie_rank = np.arange(len(g)) - np.searchsorted(tc, tc, side="left")
         rn = (below + tie_rank + 1).astype(np.int64)
         base, rem = divmod(n, n_tiles)
@@ -1281,8 +1393,8 @@ def row_number_orders(sf_dir: str, n_tiles: int = 7,
                              "total_c": tc,
                              "rn": rn, "tile": tile.astype(np.int64)})
 
-    return withc.groupby("bucket").map_groups(rank_ties,
-                                              batch_format="pandas")
+    return wds.groupby("bucket").map_groups(rank_ties,
+                                            batch_format="pandas")
 
 
 def user_gaps(sf_dir: str, num_buckets: int = 32) -> Dataset:
@@ -2079,7 +2191,7 @@ def top_orders_ties(sf_dir: str, k: int = 20,
                     num_buckets: int = 32) -> Dataset:
     """Global top-k orders WITH TIES (SQL ``QUALIFY RANK() <= k``) and
     the tie-sharing rank — no global sort: the broadcast-CDF backbone
-    (``_cdf_ref``) gives rank = 1 + #rows strictly above as exact int
+    (``_window_counts``) gives rank = 1 + #rows strictly above as exact int
     arithmetic, and the filter is map-side. Unlike ``top_orders``
     (ROW_NUMBER semantics), ties at the boundary all survive, so the
     output is reproducible without a tie-break key.
@@ -2091,19 +2203,18 @@ def top_orders_ties(sf_dir: str, k: int = 20,
                          "total_c": _cents(batch.column("o_totalprice"))})
 
     withc = orders.map_batches(prep, batch_format="pyarrow")
-    ref = _cdf_ref(withc, num_buckets)
+    wds, n = _window_counts(withc, num_buckets)
 
     def attach(batch: pa.Table) -> pa.Table:
-        vals, cum, n = ray.get(ref)
-        tc = batch.column("total_c").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(vals, tc, side="right")
-        above = n - np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
-        rnk = above + 1
-        out = batch.append_column("rnk", pa.array(rnk.astype(np.int64),
-                                                  pa.int64()))
+        le = batch.column("w_le").to_numpy(zero_copy_only=False)
+        rnk = n - le + 1
+        out = pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "total_c": batch.column("total_c"),
+            "rnk": pa.array(rnk.astype(np.int64), pa.int64())})
         return out.filter(pa.array(rnk <= k))
 
-    return withc.map_batches(attach, batch_format="pyarrow")
+    return wds.map_batches(attach, batch_format="pyarrow")
 
 
 def throttle_events(sf_dir: str, gap_s: int = 600,
@@ -2432,15 +2543,15 @@ def percent_rank_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
                          "total_c": _cents(batch.column("o_totalprice"))})
 
     withc = orders.map_batches(prep, batch_format="pyarrow")
-    ref = _cdf_ref(withc, num_buckets)
+    wds, n = _window_counts(withc, num_buckets)
 
     def attach(batch: pa.Table) -> pa.Table:
-        vals, cum, n = ray.get(ref)
-        tc = batch.column("total_c").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(vals, tc, side="left")
-        below = np.where(pos > 0, cum[np.maximum(pos - 1, 0)], 0)
-        pr = below.astype(np.float64) / float(n - 1) if n > 1 \
-            else np.zeros(len(tc), np.float64)
-        return batch.append_column("pct_rank", pa.array(pr, pa.float64()))
+        lt = batch.column("w_lt").to_numpy(zero_copy_only=False)
+        pr = lt.astype(np.float64) / float(n - 1) if n > 1 \
+            else np.zeros(batch.num_rows, np.float64)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "total_c": batch.column("total_c"),
+            "pct_rank": pa.array(pr, pa.float64())})
 
-    return withc.map_batches(attach, batch_format="pyarrow")
+    return wds.map_batches(attach, batch_format="pyarrow")

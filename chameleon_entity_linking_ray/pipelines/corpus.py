@@ -1963,15 +1963,31 @@ def tf_cosine_pairs(sf_dir: str, threshold: float = 0.6,
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def tok_rows(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        ids, toks = [], []
-        for did, t in zip(df["doc_id"], df["text"]):
-            for tok in set(t.split()):
-                ids.append(did)
-                toks.append(tok)
-        return pa.table({"doc_id": pa.array(np.asarray(ids, np.int64)
-                                            if ids else [], pa.int64()),
-                         "tok": pa.array(toks, pa.string())})
+        # vectorized explode (the doc_token_rows offset-arithmetic
+        # idiom): trim + regex split + list-offset repeat, then one
+        # hash-based drop_duplicates for the per-doc token SET — no
+        # Python loop over rows or tokens
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "tok": pa.array([], pa.string())})
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        sub = batch.filter(pc.greater(pc.utf8_length(text), 0))
+        if sub.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(sub.column("text")), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = np.diff(np.asarray(toks.offsets))
+        ids = np.repeat(sub.column("doc_id")
+                        .to_numpy(zero_copy_only=False).astype(np.int64),
+                        lens)
+        df = pd.DataFrame({"doc_id": ids,
+                           "tok": toks.flatten().to_pandas()}) \
+            .drop_duplicates()
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "tok": pa.array(df["tok"], pa.string())})
 
     tk = docs.map_batches(tok_rows, batch_format="pyarrow").materialize()
     rare = grouped_agg(tk, keys=["tok"], aggs={"df": (None, "count")}) \

@@ -136,3 +136,47 @@ def test_edge_overlap_nbrs_guard():
     # endpoint 2 exists only as a dst: a guarded nbrs() returns empty
     i = np.searchsorted(keys_s, 2)
     assert i >= len(keys_s) or keys_s[i] != 2  # precondition of the bug
+
+
+def test_window_counts_bucketed_path_matches_broadcast():
+    """_window_counts' range-bucketed prefix-sum + join path (forced with
+    broadcast_cap=0 — the unbounded/high-cardinality regime) must agree
+    exactly with the broadcast-CDF path AND a numpy brute force, ties
+    included."""
+    from chameleon_entity_linking_ray.pipelines.analytics import (
+        _window_counts,
+    )
+
+    rng = np.random.RandomState(17)
+    vals = np.concatenate([rng.randint(-500, 500, 300),
+                           np.repeat([7, -3, 42], 10)]).astype(np.int64)
+    ids = np.arange(len(vals), dtype=np.int64)
+    withc = rd.from_arrow(pa.table({
+        "o_orderkey": pa.array(ids, pa.int64()),
+        "total_c": pa.array(vals, pa.int64())})).repartition(5)
+
+    def run(cap):
+        ds, n = _window_counts(withc, num_buckets=4, broadcast_cap=cap,
+                               n_range_buckets=8)
+        df = ds.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        return df, n
+
+    bc, n_bc = run(10**9)
+    bk, n_bk = run(0)
+    assert n_bc == n_bk == len(vals)
+    cols = ["o_orderkey", "total_c", "w_lt", "w_le", "w_dlt"]
+    pd.testing.assert_frame_equal(bc[cols], bk[cols])
+
+    # brute force
+    sv = np.sort(vals)
+    uv = np.unique(vals)
+    exp_lt = np.searchsorted(sv, vals, side="left")
+    exp_le = np.searchsorted(sv, vals, side="right")
+    exp_dlt = np.searchsorted(uv, vals, side="left")
+    got = bc.set_index("o_orderkey")
+    np.testing.assert_array_equal(got["w_lt"].to_numpy(np.int64)[ids],
+                                  exp_lt)
+    np.testing.assert_array_equal(got["w_le"].to_numpy(np.int64)[ids],
+                                  exp_le)
+    np.testing.assert_array_equal(got["w_dlt"].to_numpy(np.int64)[ids],
+                                  exp_dlt)
