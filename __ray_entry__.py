@@ -261,6 +261,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negative_pairs": R.hard_negative_pairs,
         "teacher_scores": R.teacher_scores,
         "partitioned_docs": R.partitioned_docs,
+        # --- M5: reference synthetic-span arithmetic, quirks included ---
+        "entity_span_quirk": R.entity_span_quirk,
+        # --- S6 format parity: page_link.tsv reversed-edge roundtrip ---
+        "page_link_degrees": R.page_link_degrees,
         # --- IR metric aggregate (A5) ---
         "ir_metrics": R.ir_metrics,
         # --- graph expansion (reference entity_expander parity) ---
@@ -1915,6 +1919,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(agg.c, 0) AS BIGINT) AS n_entities,
                    ROUND(COALESCE(agg.mx, 0.0), 6) AS max_rho
             FROM t LEFT JOIN agg USING (p_partkey)""",
+        # S6 format parity: out-degree of the (bounded) co-purchase graph
+        # after a roundtrip through the reference's page_link.tsv format
+        # (edge src->dst stored as line "dst\tsrc"; reader reverses)
+        "page_link_degrees": """
+            WITH pairs AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey != b.l_partkey
+                WHERE a.l_partkey < 500 AND b.l_partkey < 500)
+            SELECT CAST(src AS BIGINT) AS part,
+                   CAST(COUNT(*) AS BIGINT) AS out_degree
+            FROM pairs GROUP BY src""",
+        # M5 conformance: the reference's entities-only span arithmetic
+        # (BiEncoder/model.py:168-186) — end inclusive (len-1), and for
+        # idx >= 2 the start uses ONLY the previous entity's length + 1
+        # (LAG), not the cumulative prefix. Entity lists = doc tokens.
+        "entity_span_quirk": r"""
+            WITH d AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents
+              WHERE doc_id < 200 AND length(trim(text)) > 0
+            ), toks AS (
+              SELECT doc_id,
+                     unnest(arr) AS entity,
+                     unnest(range(1, len(arr) + 1)) AS ord
+              FROM d
+            )
+            SELECT doc_id, CAST(ord - 1 AS BIGINT) AS idx, entity,
+                   CAST(CASE WHEN ord = 1 THEN 0
+                        ELSE length(LAG(entity) OVER
+                            (PARTITION BY doc_id ORDER BY ord)) + 1
+                   END AS BIGINT) AS start_q,
+                   CAST(CASE WHEN ord = 1 THEN length(entity) - 1
+                        ELSE length(LAG(entity) OVER
+                            (PARTITION BY doc_id ORDER BY ord))
+                             + length(entity)
+                   END AS BIGINT) AS end_q
+            FROM toks""",
         "trec_merge": """
             WITH rf AS (
                 SELECT o_custkey q, o_orderkey p,

@@ -304,3 +304,100 @@ def partitioned_docs(sf_dir: str) -> Dataset:
                        aggs={"n_docs": (None, "count"),
                              "sum_chars": ("n_chars", "sum"),
                              "max_doc": ("doc_id", "max")})
+
+
+# --------------------------- M5: synthetic-span arithmetic conformance
+
+def entity_span_quirk(sf_dir: str, max_doc: int = 200) -> Dataset:
+    """M5 conformance, value-verified: the reference's entities-only
+    span recomputation (/root/reference/BiEncoder/model.py:168-186,
+    duplicated Fully/model.py:72-90) INCLUDING both faithful quirks —
+    span end is ``start + len - 1`` (inclusive), and for idx >= 2 the
+    start offset is ``len(previous entity) + 1`` only (NOT the
+    cumulative prefix), so third-and-later spans do not actually index
+    the joined string. Entity lists are the whitespace tokens of each
+    document's text (idx = token ordinal), making the arithmetic
+    SQL-expressible via LAG for the DuckDB oracle.
+
+    One row per (doc, idx): (doc_id, idx, entity, start_q, end_q).
+    Fully vectorized — the doc_token_rows offset-arithmetic explode plus
+    shifted length arrays; the scalar reference-shaped loop lives in
+    functions/spans.synthetic_entity_spans and is pytest-pinned equal.
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"]) \
+        .filter(expr=f"doc_id < {max_doc}")
+
+    def spans(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "idx": pa.array([], pa.int64()),
+                          "entity": pa.array([], pa.string()),
+                          "start_q": pa.array([], pa.int64()),
+                          "end_q": pa.array([], pa.int64())})
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        sub = batch.filter(pc.greater(pc.utf8_length(text), 0))
+        if sub.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(sub.column("text")), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        lens = np.diff(np.asarray(toks.offsets))
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        tl = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = sub.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = np.cumsum(lens) - lens
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        prev_tl = np.r_[np.int64(0), tl[:-1]]  # idx==0 rows ignore it
+        start_q = np.where(idx == 0, 0, prev_tl + 1)
+        end_q = start_q + tl - 1
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+            "idx": pa.array(idx, pa.int64()),
+            "entity": flat,
+            "start_q": pa.array(start_q.astype(np.int64), pa.int64()),
+            "end_q": pa.array(end_q.astype(np.int64), pa.int64())})
+
+    return docs.map_batches(spans, batch_format="pyarrow")
+
+
+# -------------------- S6 format parity: page_link.tsv reversed edges
+
+def page_link_degrees(sf_dir: str, max_part: int = 500) -> Dataset:
+    """S6 format-parity roundtrip: the co-purchase edge set (bounded to
+    parts < ``max_part`` so the artifact stays small at any sf) is
+    written to a ``page_link.tsv``-format file — header line + one
+    ``dst\\tsrc`` line per edge, the reference's storage convention —
+    then re-read through ``sources.ingest.read_page_link_tsv`` (which
+    performs the reversed-edge build of
+    /root/reference/utils/entity_expander.py:31-35), and reduced to a
+    per-source out-degree table the DuckDB oracle recomputes from
+    lineitem directly. A wrong direction in either the writer or the
+    reader flips src/dst and breaks the degree counts."""
+    from chameleon_entity_linking_ray.sources.ingest import (
+        read_page_link_tsv,
+    )
+    from chameleon_entity_linking_ray.stages.graph import copurchase_edges
+
+    edges = copurchase_edges(sf_dir) \
+        .filter(expr=f"src < {max_part} and dst < {max_part}")
+    df = pa.concat_tables(
+        [b for b in edges.iter_batches(batch_format="pyarrow")]
+    ).to_pandas().sort_values(["src", "dst"])
+    path = os.path.join(_io_dir(sf_dir), "page_link.tsv")
+    with open(path, "w", encoding="utf8") as f:
+        f.write("pl_to\tpl_from\n")  # header, skipped as lines[1:]
+        for s, d in zip(df["src"], df["dst"]):
+            f.write(f"{d}\t{s}\n")  # edge src->dst stored as "dst\tsrc"
+
+    back = read_page_link_tsv(path)
+    return grouped_agg(back, keys=["src"],
+                       aggs={"out_degree": (None, "count")}) \
+        .map_batches(lambda b: pa.table({
+            "part": b.column("src").cast(pa.int64()),
+            "out_degree": b.column("out_degree").cast(pa.int64())}),
+            batch_format="pyarrow")

@@ -295,3 +295,31 @@ def join_teacher_scores(pairs: Dataset, scores: Dataset,
         return batch.append_column(out_col, pa.array(out, pa.float64()))
 
     return pairs.map_batches(attach, batch_format="pyarrow")
+
+
+def read_page_link_tsv(path: str) -> Dataset:
+    """Reference ``page_link.tsv`` graph format -> Dataset(src:int64,
+    dst:int64) with the REVERSED-edge build (S6 format parity): the
+    adjacency key is the SECOND column —
+    /root/reference/utils/entity_expander.py:31-35 builds
+    ``linked_pages[int(pair[1])].append(int(pair[0]))`` and the CSR
+    build :57-59 likewise appends ``(pair[1], pair[0])`` — so an edge
+    ``src -> dst`` is stored in the file as the line ``dst\\tsrc``.
+
+    The reference skips the header via ``lines[1:]``; under a parallel
+    read no block owns "the first line", so the header is dropped by a
+    both-columns-integer regex filter instead (equivalent on any header
+    whose columns are not both bare integers, which the reference
+    format guarantees)."""
+
+    def parse(batch: pa.Table) -> pa.Table:
+        lines = pc.utf8_trim_whitespace(batch.column("text"))
+        kept = lines.filter(pc.match_substring_regex(lines,
+                                                     r"^\d+\t\d+$"))
+        parts = pc.split_pattern(kept, "\t")
+        return pa.table({
+            "src": pc.cast(pc.list_element(parts, 1), pa.int64()),
+            "dst": pc.cast(pc.list_element(parts, 0), pa.int64())})
+
+    return ray.data.read_text(path).map_batches(parse,
+                                                batch_format="pyarrow")

@@ -180,3 +180,36 @@ def test_window_counts_bucketed_path_matches_broadcast():
                                   exp_le)
     np.testing.assert_array_equal(got["w_dlt"].to_numpy(np.int64)[ids],
                                   exp_dlt)
+
+
+def test_entity_span_quirk_matches_scalar_kernel():
+    """The vectorized entity_span_quirk pipeline must agree row-for-row
+    with the reference-shaped scalar loop in
+    functions/spans.synthetic_entity_spans (reference_parity=True)."""
+    from chameleon_entity_linking_ray.functions.spans import (
+        synthetic_entity_spans,
+    )
+    from chameleon_entity_linking_ray.pipelines.reference_io import (
+        entity_span_quirk,
+    )
+
+    got = entity_span_quirk("/root/testdata/sf0.001", max_doc=30) \
+        .to_pandas().sort_values(["doc_id", "idx"]).reset_index(drop=True)
+
+    import pyarrow.parquet as pq
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs[docs.doc_id < 30].sort_values("doc_id")
+    rows = []
+    for did, text in zip(docs.doc_id, docs.text):
+        ents = text.split()
+        if not ents:
+            continue
+        _texts, spans = synthetic_entity_spans([ents])
+        for idx, (ent, (s, e)) in enumerate(zip(ents, spans[0])):
+            rows.append((did, idx, ent, s, e))
+    exp = pd.DataFrame(rows, columns=["doc_id", "idx", "entity",
+                                      "start_q", "end_q"])
+    exp = exp.astype({"doc_id": np.int64, "idx": np.int64,
+                      "start_q": np.int64, "end_q": np.int64})
+    pd.testing.assert_frame_equal(got, exp)
