@@ -280,6 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_mentions": C.part_mentions,
         "mention_vocab": C.mention_vocab,
         "linkage_parts": C.linkage_parts,
+        # rows-only: transformer forward isn't SQL-expressible; the model
+        # path's quality gate is tests/test_model_scorer.py (flagship e2e
+        # through the model actor pool, pairwise F1 >= 0.85)
+        "model_pair_scores": C.model_pair_scores,
         # --- training-data prep (pipelines/traindata.py) ---
         "redact_ids": T.redact_ids,
         "sample_documents": T.sample_documents,

@@ -2218,3 +2218,63 @@ def golden_records(sf_dir: str, window: int = 6, cap: int = 4,
 
     return j.map_batches(cbucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def model_pair_scores(sf_dir: str, window: int = 4,
+                      threshold: float = 0.80) -> Dataset:
+    """The MODEL-BACKED scoring actor pool as a public query: SNM
+    candidate pairs over part names scored by
+    ``stages/model.ModelPairScorer`` — a pure-numpy synthetic-weight
+    transformer run exactly as a production model stage (weights
+    broadcast once via ``ray.put``, fetched per actor in ``__init__``;
+    tokenize + length-sorted padded collate + batched attention forward
+    per ``__call__``). Output: matched pairs (score > ``threshold``)
+    with the raw score and the M7 ``tok_fallback`` column.
+
+    Rows-only in the driver gate (a transformer forward is not
+    SQL-expressible); the model path's quality gate is the flagship
+    e2e pytest (tests/test_model_scorer.py, pairwise F1 >= 0.85 vs
+    planted truth at the same threshold).
+    """
+    from chameleon_entity_linking_ray.stages.blocking import (
+        sorted_neighborhood_pairs,
+    )
+    from chameleon_entity_linking_ray.stages.model import (
+        ModelPairScorer,
+        SyntheticWeights,
+    )
+
+    part = read_table(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch.column("p_partkey").cast(pa.int64()),
+                         "key": pc.utf8_lower(
+                             batch.column("p_name").cast(pa.string()))})
+
+    keyed = part.map_batches(prep, batch_format="pyarrow")
+    pairs = sorted_neighborhood_pairs(keyed, key_col="key", id_col="id",
+                                      window=window, carry_key=True)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "part_a": batch.column("left_id").cast(pa.int64()),
+            "part_b": batch.column("right_id").cast(pa.int64()),
+            "left_text": batch.column("left_key").cast(pa.string()),
+            "right_text": batch.column("right_key").cast(pa.string())})
+
+    w_ref = ray.put(SyntheticWeights())
+    scored = pairs.map_batches(shape, batch_format="pyarrow").map_batches(
+        ModelPairScorer,
+        fn_constructor_kwargs={"weights_ref": w_ref, "mode": "bi"},
+        batch_format="pyarrow", batch_size=2048, concurrency=2)
+
+    def out(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch.column("score"),
+                                    pa.scalar(threshold, pa.float32())))
+        return pa.table({
+            "part_a": b.column("part_a"),
+            "part_b": b.column("part_b"),
+            "score": b.column("score"),
+            "tok_fallback": b.column("tok_fallback")})
+
+    return scored.map_batches(out, batch_format="pyarrow")

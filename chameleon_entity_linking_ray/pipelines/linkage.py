@@ -81,7 +81,12 @@ def generate_pairs(vocab: Dataset, config: LinkageConfig) -> Dataset:
         dedup_pairs_fn(), batch_format="pandas").drop_columns(["pbucket"])
 
 
-def score_pairs(pairs: Dataset, config: LinkageConfig, stats_ref=None) -> Dataset:
+def score_pairs(pairs: Dataset, config: LinkageConfig, stats_ref=None,
+                scorer_cls=None, scorer_kwargs: dict | None = None) -> Dataset:
+    """``scorer_cls``: any callable class with the PairScorer protocol —
+    default the deterministic stand-in kernel; pass
+    ``stages.model.ModelPairScorer`` (plus its ``weights_ref`` in
+    ``scorer_kwargs``) for the model-backed path."""
     # the pair table emerges from a groupby in a handful of fat blocks, and
     # map_batches parallelism is bounded by input block count — spread it
     # across the pool and PIN it first (cheap: pairs are candidate-pruned).
@@ -94,8 +99,10 @@ def score_pairs(pairs: Dataset, config: LinkageConfig, stats_ref=None) -> Datase
     # short (measured 2x slower than fixed at the same max)
     avail = int(ray.cluster_resources().get("CPU", 2))
     pool = max(1, min(config.scorer_concurrency, avail - 1))
+    kwargs = {"config": config, "stats_ref": stats_ref}
+    kwargs.update(scorer_kwargs or {})
     return pairs.map_batches(
-        PairScorer, fn_constructor_kwargs={"config": config, "stats_ref": stats_ref},
+        scorer_cls or PairScorer, fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", batch_size=config.scorer_batch_size,
         concurrency=pool)
 
@@ -453,17 +460,28 @@ def annotate_transcripts(transcripts: Dataset, clustered: Dataset,
 def run_linkage(transcripts: Dataset, config: LinkageConfig | None = None,
                 checkpoint_dir: str | None = None,
                 input_paths: list[str] | None = None,
-                order: str = "auto") -> tuple[Dataset, dict]:
+                order: str = "auto", scorer_cls=None,
+                scorer_kwargs: dict | None = None) -> tuple[Dataset, dict]:
     """Full pipeline. Returns (clustered mentions Dataset, stage metrics).
 
     With ``checkpoint_dir``, each stage's output is written atomically and a
     rerun resumes after the last completed stage (same input + config
     fingerprint), per the north rule's resumability requirement.
+
+    ``scorer_cls`` / ``scorer_kwargs`` swap the scoring actor class
+    (default: the deterministic stand-in ``PairScorer``; see
+    ``stages.model.ModelPairScorer`` for the model-backed path).
     """
     config = config or LinkageConfig()
     ckpt = None
     if checkpoint_dir:
-        fp = fingerprint(asdict(config),
+        # the scorer class participates in the resume fingerprint: a run
+        # with a different scorer must never adopt another run's scores
+        cfg_fp = dict(asdict(config))
+        cfg_fp["scorer_cls"] = (scorer_cls or PairScorer).__name__
+        if scorer_kwargs and "mode" in scorer_kwargs:
+            cfg_fp["scorer_mode"] = scorer_kwargs["mode"]
+        fp = fingerprint(cfg_fp,
                          input_fingerprint(input_paths or []) if input_paths else "mem")
         ckpt = CheckpointManager(checkpoint_dir, fp)
 
@@ -501,7 +519,8 @@ def run_linkage(transcripts: Dataset, config: LinkageConfig | None = None,
     stats_ref = ray.put(build_idf_stats(vocab, config))
     metrics["idf_stats"] = {"wall_sec": round(time.time() - t0, 3)}
 
-    scored = stage("scores", ["pairs"], score_pairs, pairs, config, stats_ref)
+    scored = stage("scores", ["pairs"], score_pairs, pairs, config, stats_ref,
+                   scorer_cls, scorer_kwargs)
     # edges is consumed at least twice by connected_components (count +
     # label loop); without materialize() the whole scorer chain re-executes
     # per consumption. The table is threshold-filtered and tiny vs input.
