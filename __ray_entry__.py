@@ -252,6 +252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (same non-SQL class as ppr_copurchase); pinned by exactness-at-
         # full-probe + recall pytest (tests/test_ann_ivf.py)
         "ann_ivf_topk": C.ann_ivf_topk,
+        # value-verified IVF: fixed quantizer (zero Lloyd iterations)
+        # makes index + probe + top-k fully SQL-expressible
+        "ann_ivf_fixed_topk": C.ann_ivf_fixed_topk,
         "group_mean_vectors": C.group_mean_vectors,
         # --- reference ingest surface (S1-S5 roundtrips through real
         #     files under /tmp, re-read by sources/ingest.py readers) ---
@@ -284,6 +287,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # path's quality gate is tests/test_model_scorer.py (flagship e2e
         # through the model actor pool, pairwise F1 >= 0.85)
         "model_pair_scores": C.model_pair_scores,
+        # value-verified flagship projection: every SQL-derivable column
+        # of linkage_parts' output, hash-matched (scores/clusters stay
+        # pinned by the e2e F1 gate)
+        "linkage_parts_surfaces": C.linkage_parts_surfaces,
         # --- training-data prep (pipelines/traindata.py) ---
         "redact_ids": T.redact_ids,
         "sample_documents": T.sample_documents,
@@ -1316,12 +1323,64 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY score DESC, vec_id) AS rnk
                   FROM s)
             WHERE rnk <= 5""",
+        # fixed-quantizer IVF: cells = 16 lowest vec_ids; cell assignment
+        # is argmax cosine (ties -> lowest cell, the numpy argmax
+        # convention); each query probes its 4 best cells; final top-5
+        # tie-broken by vec_id — every step plain SQL
+        "ann_ivf_fixed_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+                 c AS (SELECT vec_id AS cell_id, v FROM e
+                       WHERE vec_id < 16),
+                 a AS (SELECT e.vec_id, c.cell_id,
+                              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_cosine_similarity(e.v, c.v)
+                                      DESC, c.cell_id) AS rn
+                       FROM e CROSS JOIN c),
+                 cell AS (SELECT vec_id, cell_id FROM a WHERE rn = 1),
+                 q AS (SELECT vec_id AS query_id, v FROM e
+                       WHERE vec_id < 10),
+                 pr AS (SELECT q.query_id, c.cell_id,
+                               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                   ORDER BY list_cosine_similarity(q.v, c.v)
+                                       DESC, c.cell_id) AS rn
+                        FROM q CROSS JOIN c),
+                 probe AS (SELECT query_id, cell_id FROM pr WHERE rn <= 4),
+                 s AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(q.v, e.v) AS score
+                       FROM q
+                       JOIN probe p ON p.query_id = q.query_id
+                       JOIN cell ce ON ce.cell_id = p.cell_id
+                       JOIN e ON e.vec_id = ce.vec_id
+                       WHERE e.vec_id != q.query_id)
+            SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rnk
+            FROM (SELECT query_id, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id) AS rnk
+                  FROM s)
+            WHERE rnk <= 5""",
         "part_mentions": f"""
             WITH t AS (SELECT p_partkey, {title} AS text FROM part)
             SELECT p_partkey,
                    CAST(len(list_filter(regexp_extract_all(text, '{_MENTION_RE_SQL}'),
                                         m -> {_RHO_FILTER_SQL})) AS BIGINT) AS n_mentions
             FROM t""",
+        "linkage_parts_surfaces": f"""
+            WITH t AS (SELECT p_brand AS conv_id,
+                              CAST(p_partkey AS BIGINT) AS turn_idx,
+                              {title} AS text FROM part),
+                 f AS (SELECT conv_id, turn_idx,
+                              list_filter(regexp_extract_all(text,
+                                  '{_MENTION_RE_SQL}'),
+                                  m -> {_RHO_FILTER_SQL}) AS ms FROM t),
+                 m AS (SELECT conv_id, turn_idx,
+                              unnest(ms) AS surface,
+                              unnest(range(1, len(ms) + 1)) AS ord
+                       FROM f)
+            SELECT conv_id, turn_idx, CAST(ord AS BIGINT) AS ord, surface,
+                   {_NORM_SQL.format(col="surface")} AS norm,
+                   ROUND({_RHO_EXPR.format(c="surface")}, 6) AS rho
+            FROM m""",
         "mention_vocab": f"""
             WITH t AS (SELECT {title} AS text FROM part),
                  m AS (SELECT unnest(list_filter(
@@ -1329,6 +1388,56 @@ def oracle_sql() -> dict[str, str]:
                            m -> {_RHO_FILTER_SQL})) AS surface FROM t)
             SELECT {norm} AS norm, CAST(COUNT(*) AS BIGINT) AS n_mentions
             FROM m GROUP BY norm""",
+        # DFS visit order IS SQL-expressible after all: the engine's
+        # stack machine (stages/graph.expand_per_seed walk: pop from the
+        # end, push unvisited neighbors sorted ascending, seed never
+        # marked visited — the reference's re-expansion quirk) simulated
+        # by a SINGLE-ROW recursive CTE carrying list-typed (stack,
+        # visited) state, one iteration per pop. Promotes the former
+        # rows-only check to a full value match.
+        "dfs_copurchase": r"""
+            WITH RECURSIVE adj AS (
+                SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM (
+                    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                    FROM lineitem a JOIN lineitem b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey != b.l_partkey
+                ) GROUP BY src
+            ), walk(step, stack, visited) AS (
+                SELECT 0, [CAST(0 AS BIGINT)], CAST([] AS BIGINT[])
+                UNION ALL
+                SELECT step + 1,
+                    list_concat(
+                        stack[1:len(stack)-1],
+                        CASE WHEN list_contains(visited, stack[len(stack)])
+                             THEN CAST([] AS BIGINT[])
+                             ELSE list_sort(list_filter(
+                                 COALESCE((SELECT nbrs FROM adj
+                                     WHERE adj.src = stack[len(stack)]),
+                                     CAST([] AS BIGINT[])),
+                                 x -> NOT list_contains(
+                                     CASE WHEN list_contains(
+                                              visited, stack[len(stack)])
+                                            OR stack[len(stack)] = 0
+                                          THEN visited
+                                          ELSE list_append(
+                                              visited, stack[len(stack)])
+                                     END, x)))
+                        END),
+                    CASE WHEN list_contains(visited, stack[len(stack)])
+                              OR stack[len(stack)] = 0
+                         THEN visited
+                         ELSE list_append(visited, stack[len(stack)])
+                    END
+                FROM walk
+                WHERE len(stack) > 0 AND len(visited) < 20
+            ), final AS (
+                SELECT visited FROM walk ORDER BY step DESC LIMIT 1
+            )
+            SELECT CAST(0 AS BIGINT) AS seed,
+                   unnest(visited) AS node,
+                   unnest(range(1, len(visited) + 1)) AS visit_order
+            FROM final""",
         "bfs_copurchase": """
             WITH RECURSIVE pairs AS (
                 SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

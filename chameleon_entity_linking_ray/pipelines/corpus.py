@@ -2278,3 +2278,61 @@ def model_pair_scores(sf_dir: str, window: int = 4,
             "tok_fallback": b.column("tok_fallback")})
 
     return scored.map_batches(out, batch_format="pyarrow")
+
+
+def linkage_parts_surfaces(sf_dir: str) -> Dataset:
+    """Value-verified projection of the FLAGSHIP's output: every
+    SQL-derivable column of ``linkage_parts`` — (conv_id, turn_idx,
+    mention ordinal by span_start, surface, norm, rho) — hash-matched
+    against the extraction oracle. Scores/clusters are model-derived
+    (pinned by the e2e F1 gate instead), but this pins that the flagship
+    carries the mention stream through blocking + scoring + CC + ordered
+    output INTACT: the north rule's per-turn text-equality invariant at
+    mention granularity, verified value-for-value."""
+    from chameleon_entity_linking_ray.pipelines.linkage import (  # noqa: F401
+        run_linkage,
+    )
+
+    clustered = linkage_parts(sf_dir)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "conv_id": batch.column("conv_id").cast(pa.string()),
+            "turn_idx": batch.column("turn_idx").cast(pa.int64()),
+            "span_start": batch.column("span_start").cast(pa.int64()),
+            "surface": batch.column("surface").cast(pa.string()),
+            "norm": batch.column("norm").cast(pa.string()),
+            "rho": batch.column("rho").cast(pa.float32()),
+        })
+        h = hash64(np.asarray(t.column("conv_id").to_pylist(),
+                              dtype=object))
+        h ^= t.column("turn_idx").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return t.append_column(
+            "gbucket", pa.array((h % np.uint64(32)).astype(np.int32),
+                                pa.int32()))
+
+    def ordinal(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx", "span_start"],
+                          kind="mergesort")
+        grp = g.groupby(["conv_id", "turn_idx"], sort=False)
+        g["ord"] = grp.cumcount().to_numpy(np.int64) + 1
+        return g[["conv_id", "turn_idx", "ord", "surface", "norm", "rho"]]
+
+    return clustered.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("gbucket").map_groups(ordinal, batch_format="pandas")
+
+
+def ann_ivf_fixed_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
+                       n_centroids: int = 16, n_probe: int = 4) -> Dataset:
+    """``ann_ivf_topk`` with a FIXED coarse quantizer (zero Lloyd
+    iterations: the cells are the ``n_centroids`` lowest vec_ids'
+    normalized vectors, exactly the k-means init). Removing the
+    iterative fitting makes the ENTIRE index + probe + top-k dataflow
+    SQL-expressible, so this variant is value-verified against a DuckDB
+    oracle — pinning the cell-assignment argmax, the per-query probe
+    ranking, and the final tie-broken top-k of the IVF path that the
+    full ``ann_ivf_topk`` shares (its only non-SQL piece is the Lloyd
+    loop, covered by the exact-at-full-probe pytest)."""
+    return ann_ivf_topk(sf_dir, n_queries=n_queries, k=k,
+                        n_centroids=n_centroids, n_probe=n_probe, iters=0)
