@@ -43,6 +43,8 @@ QUERY_NAMES = [
     "user_event_paths",
     "rerank_bm25", "snm_pairs", "funnel_events", "damerau_pairs",
     "jw_name_pairs", "dedup_parts_snm",
+    # round 4: model-backed scorer pool, M5 conformance, tf cosine join
+    "model_pair_scores", "entity_span_quirk", "tf_cosine_pairs",
 ]
 
 
