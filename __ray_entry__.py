@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_logprob": T.doc_logprob,
         "dup_spans": T.dup_spans,
         "source_mix": T.source_mix,
+        "train_interleave": T.train_interleave,
+        "train_rotation": T.train_rotation,
         "budget_sample": T.budget_sample,
         "approx_distinct": T.approx_distinct,
         "grouped_approx_distinct": T.grouped_approx_distinct,
@@ -2261,6 +2263,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(before // 256 AS BIGINT) AS seq_id
             FROM w""",
+        # O6 (CrossEncoder): global-counter pos/neg interleave over the
+        # deterministic triple stream — cnt % (ratio+1) picks the side
+        # (reference CrossEncoder/train.py:95)
+        "train_interleave": """
+            WITH ranked AS (
+                SELECT o_custkey AS qid, o_orderkey AS oid,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                FROM orders),
+            pos AS (SELECT qid, oid AS pos_id FROM ranked WHERE rnk = 1),
+            neg AS (SELECT qid, oid AS neg_id, rnk - 1 AS r
+                    FROM ranked WHERE rnk BETWEEN 2 AND 5),
+            stream AS (
+                SELECT pos.qid, pos_id, neg_id,
+                       ROW_NUMBER() OVER (ORDER BY pos.qid, r) - 1 AS ordinal
+                FROM pos JOIN neg ON pos.qid = neg.qid)
+            SELECT CAST(ordinal AS BIGINT) AS ordinal,
+                   CAST(qid AS BIGINT) AS qid,
+                   CAST(CASE WHEN ordinal % 5 = 0 THEN pos_id
+                             ELSE neg_id END AS BIGINT) AS pid,
+                   CAST(CASE WHEN ordinal % 5 = 0 THEN 1
+                             ELSE 0 END AS BIGINT) AS label
+            FROM stream""",
+        # O6 (BiEncoder): pop-and-append queue rotation closed form —
+        # P[v % |P|] / N[v % |N|], or the two-negative branch when the
+        # positive queue is empty (reference BiEncoder/model.py:407-424);
+        # margin = teacher(pos) - teacher(neg) (model.py:426-430)
+        "train_rotation": """
+            WITH ranked AS (
+                SELECT o_custkey AS qid, o_orderkey AS oid,
+                       ROUND(o_totalprice * 0.001, 6) AS teach,
+                       o_orderstatus AS st,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                FROM orders),
+            pool AS (SELECT * FROM ranked WHERE rnk <= 8),
+            posr AS (SELECT qid, oid, teach, rnk,
+                            ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rnk) AS pr
+                     FROM pool WHERE st = 'F'),
+            pos AS (SELECT qid, oid, teach, rnk FROM posr WHERE pr <= 2),
+            negr AS (SELECT p.qid, p.oid, p.teach, p.rnk,
+                            ROW_NUMBER() OVER (PARTITION BY p.qid
+                                ORDER BY p.rnk) AS nr
+                     FROM pool p LEFT JOIN pos x
+                       ON p.qid = x.qid AND p.oid = x.oid
+                     WHERE x.oid IS NULL),
+            neg AS (SELECT qid, oid, teach, rnk FROM negr WHERE nr <= 6),
+            plists AS (SELECT qid, list(oid ORDER BY rnk) AS P,
+                              list(teach ORDER BY rnk) AS PT
+                       FROM pos GROUP BY qid),
+            nlists AS (SELECT qid, list(oid ORDER BY rnk) AS N,
+                              list(teach ORDER BY rnk) AS NT
+                       FROM neg GROUP BY qid),
+            q AS (SELECT n.qid, COALESCE(P, []) AS P, COALESCE(PT, []) AS PT,
+                         N, NT
+                  FROM nlists n LEFT JOIN plists p ON n.qid = p.qid),
+            visits AS (SELECT q.*, v.visit
+                       FROM q CROSS JOIN
+                       (SELECT UNNEST(range(3)) AS visit) v)
+            SELECT CAST(qid AS BIGINT) AS qid,
+                   CAST(visit AS BIGINT) AS visit,
+                   CAST(CASE WHEN len(P) > 0 THEN P[1 + visit % len(P)]
+                             ELSE N[1 + (2 * visit) % len(N)]
+                        END AS BIGINT) AS pos_id,
+                   CAST(CASE WHEN len(P) > 0 THEN N[1 + visit % len(N)]
+                             ELSE N[1 + (2 * visit + 1) % len(N)]
+                        END AS BIGINT) AS neg_id,
+                   (CASE WHEN len(P) > 0 THEN PT[1 + visit % len(P)]
+                         ELSE NT[1 + (2 * visit) % len(N)] END)
+                   - (CASE WHEN len(P) > 0 THEN NT[1 + visit % len(N)]
+                           ELSE NT[1 + (2 * visit + 1) % len(N)]
+                      END) AS margin
+            FROM visits""",
         "top_ngrams": r"""
             WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS t
                           FROM documents WHERE length(trim(text)) > 0),

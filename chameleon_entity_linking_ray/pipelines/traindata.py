@@ -1175,3 +1175,197 @@ def dataset_split(sf_dir: str, val_hex: str = "e000",
             "split": pa.array(split, pa.string())})
 
     return docs.map_batches(fn, batch_format="pyarrow")
+
+
+# ----------------------------------------- O6: pos/neg training rotation
+
+def train_interleave(sf_dir: str, ratio: int = 4,
+                     range_size: int = 4096) -> Dataset:
+    """CrossEncoder O6: global-counter positive/negative interleave
+    (``cnt % (pos_neg_ration + 1)``, /root/reference/CrossEncoder/
+    train.py:95): walking a triple stream in order, every (ratio+1)-th
+    example takes the positive side, the rest take the negative side.
+
+    The triple stream is derived per customer (pos = top order by price,
+    negs = the next ``ratio`` orders; stream order = (qid, neg rank) —
+    deterministic where the reference shuffles, so the oracle can pin
+    values). The global counter is a DISTRIBUTED PREFIX SUM, the
+    ``pack_sequences_ds`` pattern: (1) per-block top-(ratio+1) prune is
+    the combiner; (2) one shuffle co-locates contiguous qid ranges
+    (``range_id = qid // range_size``); (3) per-range triple counts are a
+    tiny combiner aggregate (#ranges rows on the driver, a knob, never
+    the data); (4) exclusive offsets broadcast via ``ray.put``; (5) each
+    range sorts its own triples and adds local cumsum to its base. No
+    global sort, no driver loop over rows.
+
+    Output (ordinal, qid, pid, label): label 1 where
+    ``ordinal % (ratio+1) == 0`` (the positive turn), else 0.
+    """
+    k = ratio + 1
+    orders = read_table(sf_dir, "orders",
+                        ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True],
+                            kind="mergesort") \
+            .groupby("o_custkey", sort=False).head(k).copy()
+        df["range_id"] = df["o_custkey"].to_numpy(np.int64) // range_size
+        return df
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("o_custkey", sort=False).head(k)
+        rank = g.groupby("o_custkey", sort=False).cumcount().to_numpy()
+        q = g["o_custkey"].to_numpy(np.int64)
+        p = g["o_orderkey"].to_numpy(np.int64)
+        neg_mask = rank > 0
+        pos_ids = p[rank == 0]
+        pos_q = q[rank == 0]
+        idx = np.searchsorted(pos_q, q[neg_mask])
+        return pd.DataFrame({
+            "qid": q[neg_mask],
+            "r": rank[neg_mask].astype(np.int64),
+            "pos_id": pos_ids[idx],
+            "neg_id": p[neg_mask],
+            "range_id": g["range_id"].to_numpy(np.int64)[neg_mask],
+        })
+
+    triples = orders.map_batches(prune, batch_format="pandas") \
+        .groupby("range_id").map_groups(assemble, batch_format="pandas") \
+        .materialize()
+
+    counts = grouped_agg(triples, ["range_id"],
+                         {"n": ("qid", "count")}).to_pandas()
+    counts = counts.sort_values("range_id").reset_index(drop=True)
+    n = counts["n"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(n)[:-1]])
+    off_ref = ray.put((counts["range_id"].to_numpy(np.int64), offsets))
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        rids, offs = ray.get(off_ref)
+        g = g.sort_values(["qid", "r"], kind="mergesort")
+        base = offs[np.searchsorted(rids, int(g["range_id"].iloc[0]))]
+        ordinal = base + np.arange(len(g), dtype=np.int64)
+        is_pos = (ordinal % k) == 0
+        return pd.DataFrame({
+            "ordinal": ordinal,
+            "qid": g["qid"].to_numpy(np.int64),
+            "pid": np.where(is_pos, g["pos_id"].to_numpy(np.int64),
+                            g["neg_id"].to_numpy(np.int64)),
+            "label": is_pos.astype(np.int64),
+        })
+
+    return triples.groupby("range_id").map_groups(number,
+                                                  batch_format="pandas")
+
+
+def train_rotation(sf_dir: str, epochs: int = 3, max_pos: int = 2,
+                   max_neg: int = 6, pool: int = 8,
+                   num_buckets: int = 32) -> Dataset:
+    """BiEncoder O6: per-query pop-and-append queue rotation
+    (/root/reference/BiEncoder/model.py:407-424): each visit pops the
+    head of the positive queue and the head of the negative queue and
+    re-appends them (circular), and a query with NO positives pops TWO
+    negatives instead (head as stand-in positive, next as negative).
+    Deterministic closed form for visit v: ``P[v % |P|]`` / ``N[v % |N|]``
+    when ``|P| > 0``, else ``N[2v % |N|]`` / ``N[(2v+1) % |N|]``.
+
+    Queues are derived per customer from the top-``pool`` orders by
+    price: positives = the first ``max_pos`` with status 'F', negatives =
+    the next ``max_neg`` of the rest (some customers have no 'F' order in
+    the pool — those exercise the two-negative branch). The margin label
+    is the teacher-score difference (reference model.py:426-430), teacher
+    = ``round(price * 1e-3, 6)`` as in ``teacher_scores``.
+
+    Shape: per-block top-``pool`` prune (combiner) -> ONE shuffle by qid
+    hash bucket -> fully vectorized queue assembly + modular indexing per
+    bucket (no per-row Python). Output (qid, visit, pos_id, neg_id,
+    margin), ``epochs`` rows per eligible query.
+    """
+    from chameleon_entity_linking_ray.stages.agg import _bucket_of
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_custkey", "o_orderkey", "o_totalprice",
+                         "o_orderstatus"])
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True],
+                            kind="mergesort") \
+            .groupby("o_custkey", sort=False).head(pool).copy()
+        df["__qbucket"] = _bucket_of(df, ["o_custkey"], num_buckets)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("o_custkey", sort=False).head(pool)
+        q = g["o_custkey"].to_numpy(np.int64)
+        pid = g["o_orderkey"].to_numpy(np.int64)
+        price = g["o_totalprice"].to_numpy(np.float64)
+        teach = np.round(price * 1e-3, 6)
+        is_f = (g["o_orderstatus"] == "F").to_numpy()
+        # positive queue: first max_pos 'F' rows per qid, in rank order
+        posrank = pd.Series(is_f.astype(np.int64)).groupby(q).cumsum() \
+            .to_numpy()
+        is_pos = is_f & (posrank <= max_pos)
+        # negative queue: first max_neg of the remaining rows
+        negrank = pd.Series((~is_pos).astype(np.int64)).groupby(q) \
+            .cumsum().to_numpy()
+        is_neg = (~is_pos) & (negrank <= max_neg)
+
+        pq, pstart, pcnt = np.unique(q[is_pos], return_index=True,
+                                     return_counts=True)
+        ppid, pteach = pid[is_pos], teach[is_pos]
+        nq, nstart, ncnt = np.unique(q[is_neg], return_index=True,
+                                     return_counts=True)
+        npid, nteach = pid[is_neg], teach[is_neg]
+        if len(nq) == 0:
+            return pd.DataFrame({"qid": np.array([], np.int64),
+                                 "visit": np.array([], np.int64),
+                                 "pos_id": np.array([], np.int64),
+                                 "neg_id": np.array([], np.int64),
+                                 "margin": np.array([], np.float64)})
+        # align the (possibly absent) positive queue to each neg-queue qid
+        if len(pq):
+            pj = np.searchsorted(pq, nq)
+            has_p = pj < len(pq)
+            has_p[has_p] &= pq[pj[has_p]] == nq[has_p]
+            pj_safe = np.where(has_p, pj, 0)
+            a_pcnt = np.where(has_p, pcnt[pj_safe], 0)
+            a_pstart = np.where(has_p, pstart[pj_safe], 0)
+        else:
+            a_pcnt = np.zeros(len(nq), np.int64)
+            a_pstart = np.zeros(len(nq), np.int64)
+
+        rq = np.repeat(nq, epochs)
+        v = np.tile(np.arange(epochs, dtype=np.int64), len(nq))
+        r_pcnt = np.repeat(a_pcnt, epochs)
+        r_pstart = np.repeat(a_pstart, epochs)
+        r_ncnt = np.repeat(ncnt, epochs)
+        r_nstart = np.repeat(nstart, epochs)
+        hp = r_pcnt > 0
+
+        # the two branches index DIFFERENT arrays: evaluate each with
+        # indices clamped to its own array, then select
+        pos_idx_p = r_pstart + v % np.maximum(r_pcnt, 1)
+        pos_idx_n = r_nstart + (2 * v) % r_ncnt
+        if len(ppid):
+            pp_id = ppid[np.minimum(pos_idx_p, len(ppid) - 1)]
+            pp_t = pteach[np.minimum(pos_idx_p, len(ppid) - 1)]
+        else:
+            pp_id = np.zeros(len(rq), np.int64)
+            pp_t = np.zeros(len(rq), np.float64)
+        pos_id = np.where(hp, pp_id, npid[pos_idx_n])
+        pos_t = np.where(hp, pp_t, nteach[pos_idx_n])
+        neg_idx = r_nstart + np.where(hp, v % r_ncnt, (2 * v + 1) % r_ncnt)
+        return pd.DataFrame({
+            "qid": rq, "visit": v, "pos_id": pos_id.astype(np.int64),
+            "neg_id": npid[neg_idx],
+            "margin": pos_t - nteach[neg_idx],
+        })
+
+    return orders.map_batches(prune, batch_format="pandas") \
+        .groupby("__qbucket").map_groups(per_bucket, batch_format="pandas")
