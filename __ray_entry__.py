@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from chameleon_entity_linking_ray.pipelines import corpus as C
     from chameleon_entity_linking_ray.pipelines import reference_io as R
     from chameleon_entity_linking_ray.pipelines import traindata as T
+    from chameleon_entity_linking_ray.pipelines.retrieval import (
+        model_retrieval_run as _q_model_retrieval_run,
+    )
 
     return {
         # --- relational operator coverage (SURVEY.md §2.4-2.7) ---
@@ -287,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # path's quality gate is tests/test_model_scorer.py (flagship e2e
         # through the model actor pool, pairwise F1 >= 0.85)
         "model_pair_scores": C.model_pair_scores,
+        "model_retrieval_run": _q_model_retrieval_run,
         # value-verified flagship projection: every SQL-derivable column
         # of linkage_parts' output, hash-matched (scores/clusters stay
         # pinned by the e2e F1 gate)

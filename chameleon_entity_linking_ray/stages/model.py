@@ -329,3 +329,30 @@ class ModelPairScorer:
             fb = np.fromiter((t[3] for t in toks), bool, n)
         return (batch.append_column("score", pa.array(scores, pa.float32()))
                 .append_column("tok_fallback", pa.array(fb, pa.bool_())))
+
+
+class ModelEmbedder(ModelPairScorer):
+    """Embedding-only actor over a text column: the reference's corpus
+    encoding loop (``model.encode(corpus[x*1e6:(x+1)*1e6], batch_size=128)``,
+    /root/reference/BiEncoder/test_retrieval.py:46-49) as a Ray Data actor
+    pool — weights fetched once per actor in ``__init__`` (inherited),
+    per-batch tokenize + length-sorted collate + forward via the shared
+    ``_embed_surfaces``. Appends a FixedSizeList<float32>[dim] column; the
+    per-actor surface cache makes re-encoding repeated surfaces free."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "embedding",
+                 **kw):
+        super().__init__(**kw)
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        texts = batch.column(self.text_col).to_pylist()
+        if not texts:
+            empty = pa.array([], pa.list_(pa.float32(), self.w.dim))
+            return batch.append_column(self.out_col, empty)
+        self._embed_surfaces(texts)
+        em = np.stack([self._emb_cache[t] for t in texts]).astype(np.float32)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(em.reshape(-1), pa.float32()), self.w.dim)
+        return batch.append_column(self.out_col, col)
