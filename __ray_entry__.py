@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": C.doc_repetition,
         "dedup_fuzzy": C.dedup_fuzzy_docs,
         "corpus_prep": _q_corpus_prep,
+        "curation_funnel": _q_curation_funnel,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "tf_cosine_pairs": C.tf_cosine_pairs,
         "edit_distance_pairs": C.edit_distance_pairs,
@@ -330,6 +331,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _q_corpus_prep(sf_dir):
     from chameleon_entity_linking_ray.pipelines.prep import corpus_prep
     return corpus_prep(sf_dir)
+
+
+def _q_curation_funnel(sf_dir):
+    from chameleon_entity_linking_ray.pipelines.prep import curation_funnel
+    return curation_funnel(sf_dir)
+
+
+def _curation_funnel_sql(lang: str = "en", quality_min: float = 0.75,
+                         prefix_tokens: int = 8,
+                         sample_hex: str = "8000") -> str:
+    """Composed funnel oracle: each gate expression is identical to the
+    standalone operators' oracles (langid / quality / md5-sample), the
+    dedup gate is a MIN window over the prefix key among stage-2
+    survivors — semantics pinned by construction."""
+    from chameleon_entity_linking_ray.functions.text import LANG_STOPWORDS
+    from chameleon_entity_linking_ray.pipelines.corpus import LANG_ORDER
+
+    def score(lg: str) -> str:
+        return "(" + " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            for w in LANG_STOPWORDS[lg]) + ")"
+
+    s = {lg: score(lg) for lg in LANG_ORDER}
+    return f"""
+    WITH s AS (SELECT doc_id, text, {s['en']} AS s_en, {s['de']} AS s_de,
+                      {s['fr']} AS s_fr FROM documents),
+    base AS (SELECT doc_id,
+        CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+             WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred,
+        ROUND(0.5 * LEAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END,
+                   100) / 100.0 +
+              0.5 * (1.0 - len(regexp_extract_all(text, '[^\\w\\s]'))
+                     / GREATEST(length(text), 1)), 6) AS quality,
+        array_to_string(string_split_regex(trim(text),
+                        '\\s+')[1:{prefix_tokens}], ' ') AS key,
+        substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+            < '{sample_hex}' AS s_ok
+        FROM s),
+    flags AS (SELECT *,
+        CAST(lang_pred = '{lang}' AS BIGINT) AS pass_lang,
+        CAST(lang_pred = '{lang}' AND quality >= {quality_min}
+             AS BIGINT) AS pass_quality
+        FROM base),
+    ded AS (SELECT *,
+        MIN(CASE WHEN pass_quality = 1 THEN doc_id END)
+            OVER (PARTITION BY key) AS keep_id
+        FROM flags)
+    SELECT doc_id, lang_pred, quality, pass_lang, pass_quality,
+           CAST(pass_quality = 1 AND doc_id = keep_id AS BIGINT)
+               AS pass_dedup,
+           CAST(pass_quality = 1 AND doc_id = keep_id AND s_ok
+                AS BIGINT) AS pass_sample
+    FROM ded"""
 
 
 def _q_triangles(sf_dir):
@@ -1564,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
         # CC must agree with the SQL fixpoint exactly
         # composed corpus-prep pipeline: filter -> fuzzy dedup -> pack
         "corpus_prep": _corpus_prep_sql(),
+        "curation_funnel": _curation_funnel_sql(),
         "dedup_fuzzy": r"""
             WITH RECURSIVE toks AS (
                 SELECT doc_id,

@@ -56,3 +56,19 @@ class TestCorpusPrep:
         b = corpus_prep(SF, ckpt_root=root, budget=128).to_pandas()
         # different fingerprint -> fresh run, and more bins at half budget
         assert b["seq_id"].max() > a["seq_id"].max()
+
+
+class TestCurationFunnel:
+    def test_flags_are_cumulative_and_dedup_keeps_first(self):
+        import numpy as np
+        from chameleon_entity_linking_ray.pipelines.prep import curation_funnel
+        df = curation_funnel("/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 500
+        # cumulative funnel: each gate only narrows the previous one
+        assert (df["pass_quality"] <= df["pass_lang"]).all()
+        assert (df["pass_dedup"] <= df["pass_quality"]).all()
+        assert (df["pass_sample"] <= df["pass_dedup"]).all()
+        # every stage actually attrites on this corpus
+        c = [df[c].sum() for c in
+             ["pass_lang", "pass_quality", "pass_dedup", "pass_sample"]]
+        assert len(df) > c[0] > c[1] > c[2] > c[3] > 0
