@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_fuzzy": C.dedup_fuzzy_docs,
         "corpus_prep": _q_corpus_prep,
         "curation_funnel": _q_curation_funnel,
+        "embedding_quantize": C.embedding_quantize,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "tf_cosine_pairs": C.tf_cosine_pairs,
         "edit_distance_pairs": C.edit_distance_pairs,
@@ -1621,6 +1622,29 @@ def oracle_sql() -> dict[str, str]:
         # composed corpus-prep pipeline: filter -> fuzzy dedup -> pack
         "corpus_prep": _corpus_prep_sql(),
         "curation_funnel": _curation_funnel_sql(),
+        # int8 scalar quantization: floor() (not round) and order-
+        # independent audit stats so numpy and SQL agree bit-for-bit
+        "embedding_quantize": """
+            WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            m AS (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) AS mx
+                  FROM b),
+            q AS (SELECT vec_id, e, mx,
+                    CASE WHEN mx = 0
+                         THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                         ELSE list_transform(e, x ->
+                              CAST(FLOOR(x / mx * 127.0) AS BIGINT))
+                    END AS qv
+                  FROM m)
+            SELECT vec_id, ROUND(mx, 6) AS scale,
+                   CAST(list_sum(qv) AS BIGINT) AS qsum,
+                   CAST(list_min(qv) AS BIGINT) AS qmin,
+                   CAST(list_max(qv) AS BIGINT) AS qmax,
+                   ROUND(list_max([abs(e[i] - qv[i] * mx / 127.0)
+                                   FOR i IN generate_series(1, len(e))]),
+                         6) AS max_abs_err
+            FROM q""",
         "dedup_fuzzy": r"""
             WITH RECURSIVE toks AS (
                 SELECT doc_id,

@@ -2336,3 +2336,47 @@ def ann_ivf_fixed_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
     loop, covered by the exact-at-full-probe pytest)."""
     return ann_ivf_topk(sf_dir, n_queries=n_queries, k=k,
                         n_centroids=n_centroids, n_probe=n_probe, iters=0)
+
+
+def embedding_quantize(sf_dir: str) -> Dataset:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    storage-shrink step a 100 TB embedding corpus runs before ANN
+    serving (4x smaller, matmul in int8): per vector ``scale =
+    max(|x|)``, ``q_i = floor(x_i / scale * 127)``.
+
+    Map-only, zero shuffle. The emitted per-vector audit stats are all
+    ORDER-INDEPENDENT (integer checksum/extrema of q, max reconstruction
+    error) so the DuckDB oracle hash-matches despite float summation
+    being order-sensitive: floor() is used instead of banker's/half-up
+    round() for the same reason — identical IEEE semantics in numpy and
+    SQL. Output (vec_id, scale, qsum, qmin, qmax, max_abs_err)."""
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "scale": pa.array([], pa.float64()),
+                "qsum": pa.array([], pa.int64()),
+                "qmin": pa.array([], pa.int64()),
+                "qmax": pa.array([], pa.int64()),
+                "max_abs_err": pa.array([], pa.float64())})
+        e = np.stack(batch.column("embedding").to_pylist()) \
+            .astype(np.float64)
+        mx = np.max(np.abs(e), axis=1)
+        safe = np.where(mx == 0, 1.0, mx)
+        q = np.floor(e / safe[:, None] * 127.0).astype(np.int64)
+        q[mx == 0] = 0
+        err = np.abs(e - q * mx[:, None] / 127.0)
+        return pa.table({
+            "vec_id": batch.column("vec_id").cast(pa.int64()),
+            "scale": pa.array(np.round(mx, 6), pa.float64()),
+            "qsum": pa.array(q.sum(axis=1), pa.int64()),
+            "qmin": pa.array(q.min(axis=1), pa.int64()),
+            "qmax": pa.array(q.max(axis=1), pa.int64()),
+            "max_abs_err": pa.array(np.round(err.max(axis=1), 6),
+                                    pa.float64()),
+        })
+
+    return emb.map_batches(fn, batch_format="pyarrow")

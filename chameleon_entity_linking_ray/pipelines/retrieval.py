@@ -58,8 +58,8 @@ def make_queries(sf_dir: str, n_queries: int = 24,
 
 
 def model_retrieval_run(sf_dir: str, n_queries: int = 24, top_k: int = 10,
-                        rerank: bool = True,
-                        snippet_tokens: int = 10) -> Dataset:
+                        rerank: bool = True, snippet_tokens: int = 10,
+                        concurrency: tuple = (1, 8)) -> Dataset:
     """Full retrieve(+rerank) run table: (qid, pid, rank_bi, score_bi
     [, score_ce, rank_ce, tok_fallback]). ``score_bi = 1/rank_bi`` is the
     reference's run-file score formula (test_retrieval.py:82)."""
@@ -87,7 +87,7 @@ def model_retrieval_run(sf_dir: str, n_queries: int = 24, top_k: int = 10,
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     embedded = docs.map_batches(
         ModelEmbedder, fn_constructor_kwargs={"weights_ref": w_ref},
-        batch_format="pyarrow", batch_size=256, concurrency=(1, 2))
+        batch_format="pyarrow", batch_size=256, concurrency=concurrency)
 
     # ---- IndexFlatL2 search: per-batch top-k combiner ----------------
     def search(batch: pa.Table) -> pa.Table:
@@ -171,7 +171,7 @@ def model_retrieval_run(sf_dir: str, n_queries: int = 24, top_k: int = 10,
                                             "mode": "cross",
                                             "use_entity_markers": True},
                      batch_format="pyarrow", batch_size=512,
-                     concurrency=(1, 2))
+                     concurrency=concurrency)
 
     def ce_shape(batch: pa.Table) -> pa.Table:
         return pa.table({
