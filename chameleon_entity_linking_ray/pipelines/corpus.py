@@ -1942,7 +1942,7 @@ def blocking_stats(sf_dir: str, window: int = 6) -> Dataset:
 
 
 def tf_cosine_pairs(sf_dir: str, threshold: float = 0.6,
-                    df_cap: int = 30) -> Dataset:
+                    df_cap: int = 30) -> Dataset | pa.Table:
     """Integer-TF cosine similarity join over documents — the sparse
     bag-of-words twin of ``embedding_near_dups``: candidates from
     RARE-TOKEN blocking (a pair qualifies iff it shares a token whose
@@ -2054,7 +2054,20 @@ def tf_cosine_pairs(sf_dir: str, threshold: float = 0.6,
             "cosine", pa.array(cos, pa.float64()))
         return t.filter(pc.greater_equal(t.column("cosine"), threshold))
 
-    return cand.map_batches(dispose, batch_format="pyarrow")
+    # when no pair clears the threshold (true at sf0.1) every block is
+    # empty and the Dataset API cannot keep the schema: Ray skips
+    # map_batches UDFs on empty blocks AND Dataset.to_pandas() drops the
+    # schema of any 0-row dataset (even a typed from_arrow seed) —
+    # materialize the (pair-bounded) result and return the typed empty
+    # ARROW table itself on the driver (the query contract accepts
+    # Dataset | pa.Table)
+    out = cand.map_batches(dispose, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        return pa.table({
+            "left_doc": pa.array([], pa.int64()),
+            "right_doc": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())})
+    return out
 
 
 @ray.remote

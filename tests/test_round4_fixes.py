@@ -213,3 +213,17 @@ def test_entity_span_quirk_matches_scalar_kernel():
     exp = exp.astype({"doc_id": np.int64, "idx": np.int64,
                       "start_q": np.int64, "end_q": np.int64})
     pd.testing.assert_frame_equal(got, exp)
+
+
+class TestTfCosineEmptyResult:
+    def test_all_filtered_result_keeps_typed_columns(self):
+        """Ray drops the schema of any 0-row dataset through to_pandas
+        (empty blocks also skip map_batches UDFs), so an all-filtered
+        run must surface the typed empty via a driver-side early-exit."""
+        import pyarrow as pa
+        from chameleon_entity_linking_ray.pipelines.corpus import tf_cosine_pairs
+        out = tf_cosine_pairs("/root/testdata/sf0.001", threshold=1.01)
+        assert isinstance(out, pa.Table)
+        assert out.num_rows == 0
+        assert out.column_names == ["left_doc", "right_doc", "cosine"]
+        assert out.schema.field("cosine").type == pa.float64()
