@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": _q_corpus_prep,
         "curation_funnel": _q_curation_funnel,
         "embedding_quantize": C.embedding_quantize,
+        "ann_topk_int8": C.ann_topk_int8,
         "ngram_jaccard_pairs": C.ngram_jaccard_pairs,
         "tf_cosine_pairs": C.tf_cosine_pairs,
         "edit_distance_pairs": C.edit_distance_pairs,
@@ -1645,6 +1646,35 @@ def oracle_sql() -> dict[str, str]:
                                    FOR i IN generate_series(1, len(e))]),
                          6) AS max_abs_err
             FROM q""",
+        # int8 ANN serving: same floor quantization as embedding_quantize
+        # on BOTH sides, exact integer dot — scores hash-verifiable
+        "ann_topk_int8": """
+            WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            m AS (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) AS mx
+                  FROM b),
+            q8 AS (SELECT vec_id,
+                     CASE WHEN mx = 0
+                          THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                          ELSE list_transform(e, x ->
+                               CAST(FLOOR(x / mx * 127.0) AS BIGINT))
+                     END AS qv
+                   FROM m),
+            qs AS (SELECT vec_id AS query_id, qv AS qq FROM q8
+                   WHERE vec_id < 10),
+            d AS (SELECT qs.query_id, q8.vec_id,
+                         list_sum([qq[i] * qv[i]
+                                   FOR i IN generate_series(1, len(qq))])
+                             AS dot_int
+                  FROM qs CROSS JOIN q8
+                  WHERE qs.query_id != q8.vec_id),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY dot_int DESC, vec_id) AS rnk
+                  FROM d)
+            SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rnk,
+                   CAST(dot_int AS BIGINT) AS dot_int
+            FROM r WHERE rnk <= 5""",
         "dedup_fuzzy": r"""
             WITH RECURSIVE toks AS (
                 SELECT doc_id,

@@ -45,6 +45,9 @@ QUERY_NAMES = [
     "jw_name_pairs", "dedup_parts_snm",
     # round 4: model-backed scorer pool, M5 conformance, tf cosine join
     "model_pair_scores", "entity_span_quirk", "tf_cosine_pairs",
+    # round 4 session 2: O6 rotation, curation funnel, int8 embeddings
+    "train_interleave", "train_rotation", "curation_funnel",
+    "embedding_quantize", "ann_topk_int8",
 ]
 
 

@@ -2393,3 +2393,59 @@ def embedding_quantize(sf_dir: str) -> Dataset:
         })
 
     return emb.map_batches(fn, batch_format="pyarrow")
+
+
+def ann_topk_int8(sf_dir: str, n_queries: int = 10, k: int = 5) -> Dataset:
+    """Top-k search over the INT8-QUANTIZED embeddings — the serving twin
+    of ``embedding_quantize`` + ``ann_topk``: both sides are quantized
+    with the same floor semantics and scored by the exact INTEGER dot
+    product, so unlike the float path the scores themselves are
+    hash-verifiable cross-engine (int64, order-independent sums, no
+    rounding anywhere). Same dataflow as ``ann_topk``: broadcast query
+    matrix, per-batch matmul combiner, bucketed grouped_top_k.
+    Output (query_id, vec_id, rnk, dot_int)."""
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _quant(mat: np.ndarray) -> np.ndarray:
+        mx = np.max(np.abs(mat), axis=1)
+        safe = np.where(mx == 0, 1.0, mx)
+        q = np.floor(mat / safe[:, None] * 127.0).astype(np.int64)
+        q[mx == 0] = 0
+        return q
+
+    qdf = pa.concat_tables(
+        [b for b in emb.filter(expr=f"vec_id < {n_queries}")
+         .iter_batches(batch_format="pyarrow")]).to_pandas()
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qmat = _quant(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put((qids, qmat))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.qmat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            mat = _quant(np.stack(batch.column("embedding").to_pylist())
+                         .astype(np.float64))
+            dots = self.qmat @ mat.T  # exact int64 [q, n]
+            nq, n = dots.shape
+            return pa.table({
+                "query_id": pa.array(np.repeat(self.qids, n), pa.int64()),
+                "vec_id": pa.array(np.tile(ids, nq), pa.int64()),
+                "dot_int": pa.array(dots.reshape(-1), pa.int64()),
+            })
+
+    scored = emb.map_batches(Score, batch_format="pyarrow",
+                             batch_size=4096, concurrency=(1, 4))
+    scored = scored.filter(expr="query_id != vec_id")
+    out = grouped_top_k(scored, group_keys=["query_id"],
+                        by=["dot_int", "vec_id"], ascending=[False, True],
+                        k=k, rank_col="rnk")
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rnk"] = df["rnk"].astype(np.int64)
+        return df[["query_id", "vec_id", "rnk", "dot_int"]]
+
+    return out.map_batches(shape, batch_format="pandas")

@@ -227,3 +227,39 @@ class TestTfCosineEmptyResult:
         assert out.num_rows == 0
         assert out.column_names == ["left_doc", "right_doc", "cosine"]
         assert out.schema.field("cosine").type == pa.float64()
+
+
+class TestAnnTopkInt8:
+    def test_integer_dots_match_local_quantization(self):
+        import numpy as np
+        import pyarrow.parquet as pq
+        from chameleon_entity_linking_ray.pipelines.corpus import ann_topk_int8
+
+        got = ann_topk_int8("/root/testdata/sf0.001").to_pandas() \
+            .sort_values(["query_id", "rnk"]).reset_index(drop=True)
+
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        mx = np.max(np.abs(mat), axis=1)
+        safe = np.where(mx == 0, 1.0, mx)
+        q = np.floor(mat / safe[:, None] * 127.0).astype(np.int64)
+        q[mx == 0] = 0
+        ids = t["vec_id"].to_numpy(np.int64)
+        qsel = ids < 10
+        dots = q[qsel] @ q.T
+        rows = []
+        for j, qid in enumerate(ids[qsel]):
+            mask = ids != qid
+            order = np.lexsort((ids[mask], -dots[j][mask]))[:5]
+            sel_ids = ids[mask][order]
+            sel_dots = dots[j][mask][order]
+            for r, (v, d) in enumerate(zip(sel_ids, sel_dots), start=1):
+                rows.append((int(qid), int(v), r, int(d)))
+        import pandas as pd
+        want = pd.DataFrame(rows, columns=["query_id", "vec_id", "rnk",
+                                           "dot_int"]) \
+            .sort_values(["query_id", "rnk"]).reset_index(drop=True)
+        assert got[["query_id", "vec_id", "rnk", "dot_int"]] \
+            .astype(np.int64).equals(want.astype(np.int64))
