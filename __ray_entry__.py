@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_orders": A.rank_orders,
         "cube_revenue": A.cube_revenue,
         "triangles_copurchase": _q_triangles,
+        "kcore_copurchase": _q_kcore,
         "segment_percentiles": A.segment_percentiles,
         "pivot_revenue": A.pivot_revenue,
         "unpivot_revenue": A.unpivot_revenue,
@@ -393,6 +394,11 @@ def _curation_funnel_sql(lang: str = "en", quality_min: float = 0.75,
 def _q_triangles(sf_dir):
     from chameleon_entity_linking_ray.stages.graph import triangles_copurchase
     return triangles_copurchase(sf_dir)
+
+
+def _q_kcore(sf_dir):
+    from chameleon_entity_linking_ray.stages.graph import kcore_copurchase
+    return kcore_copurchase(sf_dir)
 
 
 def _q_bfs(sf_dir):
@@ -1300,6 +1306,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY CUBE(r_name, n_name)""",
         # per-node triangle counts: canonical src<dst edge set, 3-way
         # self-join, each triangle credits its three corners
+        # k-core fixpoint: single-row recursive CTE carrying the surviving
+        # node list; adjacency rides as a MAP expression (the dfs pattern
+        # without correlated subqueries, which DuckDB's binder rejects
+        # inside recursion)
+        "kcore_copurchase": """
+            WITH RECURSIVE pairs AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey != b.l_partkey
+            ), adj AS (
+                SELECT src, list_sort(list(DISTINCT dst)) AS nbrs
+                FROM pairs GROUP BY src
+            ), amap AS (
+                SELECT map(list(src ORDER BY src),
+                           list(nbrs ORDER BY src)) AS m
+                FROM adj
+            ), s(it, nodes, prev) AS (
+                SELECT 0,
+                       (SELECT list(DISTINCT src ORDER BY src) FROM pairs),
+                       CAST(-1 AS BIGINT)
+                UNION ALL
+                SELECT it + 1,
+                  list_sort([n FOR n IN s.nodes IF
+                      len(list_filter(COALESCE(amap.m[n][1],
+                                               CAST([] AS BIGINT[])),
+                          x -> list_contains(s.nodes, x))) >= 68]),
+                  CAST(len(s.nodes) AS BIGINT)
+                FROM s, amap WHERE len(s.nodes) != s.prev
+            ), fin AS (SELECT nodes FROM s ORDER BY it DESC LIMIT 1),
+            members AS (SELECT unnest(nodes) AS part, nodes FROM fin)
+            SELECT CAST(part AS BIGINT) AS part,
+                   CAST(len(list_filter(COALESCE(amap.m[part][1],
+                                                 CAST([] AS BIGINT[])),
+                        x -> list_contains(nodes, x))) AS BIGINT) AS deg
+            FROM members, amap""",
         "triangles_copurchase": """
             WITH pairs AS (
                 SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -684,3 +684,52 @@ def edge_overlap(sf_dir: str) -> Dataset:
             "jaccard": pa.array(jac, pa.float64())})
 
     return cand.map_batches(score, batch_format="pyarrow")
+
+
+def kcore_copurchase(sf_dir: str, k: int = 68,
+                     max_rounds: int = 64) -> Dataset | pa.Table:
+    """Distributed k-core decomposition of the co-purchase graph:
+    iteratively drop nodes of degree < ``k`` until fixpoint; emit the
+    surviving nodes with their core-induced degree.
+
+    Each round is one COMBINER degree aggregate + two broadcast
+    semi-joins of the edge Dataset against the surviving node set —
+    the driver holds only per-round scalar counts, never nodes or
+    edges; ``materialize()`` per round cuts lineage (the CC-loop rule).
+    Convergence is detected by an unchanged edge count. At 100 TB the
+    surviving-node broadcast swaps for a bucketed hash join past the
+    broadcast threshold, exactly as ``assign_clusters`` does — the loop
+    shape is unchanged.
+
+    Oracle: single-row recursive CTE carrying the surviving node list
+    (the ``dfs_copurchase`` state-machine pattern); like
+    ``tf_cosine_pairs``, an empty core returns the typed Arrow table
+    from the driver (Ray cannot keep a 0-row Dataset's schema)."""
+    from chameleon_entity_linking_ray.stages.joins import semi_join_ds
+
+    edges = copurchase_edges(sf_dir).materialize()
+    prev_edges = -1
+    for _ in range(max_rounds):
+        n_edges = edges.count()
+        if n_edges == prev_edges or n_edges == 0:
+            break
+        prev_edges = n_edges
+        deg = grouped_agg(edges, ["src"], {"deg": (None, "count")})
+        keep = deg.filter(expr=f"deg >= {k}") \
+            .select_columns(["src"]).materialize()
+        edges = semi_join_ds(edges, keep, "src")
+        edges = semi_join_ds(edges, keep, "dst",
+                             keys_col="src").materialize()
+
+    if edges.count() == 0:
+        return pa.table({"part": pa.array([], pa.int64()),
+                         "deg": pa.array([], pa.int64())})
+
+    deg = grouped_agg(edges, ["src"], {"deg": (None, "count")})
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": df["src"].to_numpy(np.int64),
+            "deg": df["deg"].to_numpy(np.int64)})
+
+    return deg.map_batches(shape, batch_format="pandas")

@@ -160,3 +160,39 @@ class TestRunfile:
         assert len(lines) == 4
         assert [l.split()[0] for l in lines] == ["0", "0", "1", "1"]
         assert [l.split()[3] for l in lines] == ["1", "2", "1", "2"]
+
+
+class TestKCore:
+    def test_fixpoint_matches_python_simulation(self):
+        import collections
+
+        import duckdb
+        import numpy as np
+        from chameleon_entity_linking_ray.stages.graph import kcore_copurchase
+
+        got = kcore_copurchase("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("part").reset_index(drop=True)
+
+        con = duckdb.connect()
+        edges = con.sql(
+            "SELECT DISTINCT a.l_partkey s, b.l_partkey d "
+            "FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet') a "
+            "JOIN read_parquet('/root/testdata/sf0.001/lineitem.parquet') b "
+            "ON a.l_orderkey=b.l_orderkey AND a.l_partkey != b.l_partkey"
+        ).df()
+        adj = collections.defaultdict(set)
+        for s_, d_ in zip(edges["s"], edges["d"]):
+            adj[int(s_)].add(int(d_))
+        nodes = set(adj)
+        rounds = 0
+        while True:
+            drop = {n for n in nodes if len(adj[n] & nodes) < 68}
+            if not drop:
+                break
+            nodes -= drop
+            rounds += 1
+        assert rounds >= 2, "fixture stopped exercising iterative pruning"
+        want = {n: len(adj[n] & nodes) for n in nodes}
+        assert dict(zip(got["part"].astype(int),
+                        got["deg"].astype(int))) == want
+        assert (got["deg"] >= 68).all()
