@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": T.source_mix,
         "train_interleave": T.train_interleave,
         "train_rotation": T.train_rotation,
+        "dsir_logratio": T.dsir_logratio,
         "budget_sample": T.budget_sample,
         "approx_distinct": T.approx_distinct,
         "grouped_approx_distinct": T.grouped_approx_distinct,
@@ -2608,6 +2609,30 @@ def oracle_sql() -> dict[str, str]:
         # unigram-LM quality score: the corpus is its own LM, so every
         # token resolves (no smoothing); AVG vs numpy reduceat/mean agree
         # to the harness's 6-decimal rounding
+        # DSIR importance-resampling score: Laplace-smoothed target-vs-
+        # source unigram log-likelihood ratio, smoothing expression
+        # mirrored term for term with the numpy kernel
+        "dsir_logratio": r"""
+            WITH tk AS (SELECT doc_id,
+                           unnest(string_split_regex(trim(text), '\s+'))
+                               AS tok
+                        FROM documents WHERE length(trim(text)) > 0),
+                 tgt AS (SELECT tk.tok FROM tk
+                         JOIN documents d USING (doc_id)
+                         WHERE d.lang = 'en'),
+                 cs AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+                 ctv AS (SELECT tok, COUNT(*) AS cnt FROM tgt
+                         GROUP BY tok),
+                 tots AS (SELECT
+                     (SELECT CAST(COUNT(*) AS DOUBLE) FROM tk) AS ns,
+                     (SELECT CAST(COUNT(*) AS DOUBLE) FROM tgt) AS nt,
+                     (SELECT CAST(COUNT(*) AS DOUBLE) FROM cs) AS v)
+            SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   AVG(ln((COALESCE(ctv.cnt, 0) + 1.0) / (nt + v))
+                       - ln((cs.cnt + 1.0) / (ns + v))) AS log_ratio
+            FROM tk JOIN cs USING (tok) LEFT JOIN ctv USING (tok)
+            CROSS JOIN tots
+            GROUP BY tk.doc_id""",
         "doc_logprob": r"""
             WITH tk AS (SELECT doc_id,
                            unnest(string_split_regex(trim(text), '\s+'))

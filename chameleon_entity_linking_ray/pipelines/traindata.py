@@ -1369,3 +1369,73 @@ def train_rotation(sf_dir: str, epochs: int = 3, max_pos: int = 2,
 
     return orders.map_batches(prune, batch_format="pandas") \
         .groupby("__qbucket").map_groups(per_bucket, batch_format="pandas")
+
+
+# ------------------------------------- DSIR: importance-resampling score
+
+def dsir_logratio(sf_dir: str, target_lang: str = "en") -> Dataset:
+    """DSIR-style data-selection score (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per document, the
+    mean unigram log-likelihood RATIO between a target-domain LM (here:
+    the ``lang == target_lang`` slice) and the source LM (the whole
+    corpus), Laplace-smoothed over the source vocabulary. Documents with
+    ``log_ratio > 0`` look more target-like than the corpus average —
+    the importance weight a resampling pass would gate on.
+
+    Same shape as ``doc_logprob``: two combiner token-count aggregates
+    (shuffle O(vocabulary)), both LMs broadcast as dicts from a worker
+    fold, then a MAP-ONLY scoring pass. The oracle mirrors the
+    smoothing expression term for term."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def tok_partial_all(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.greater(pc.utf8_length(text), 0)
+        toks = pc.split_pattern_regex(text.filter(keep), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = pd.Series(toks.flatten().to_pylist()).value_counts()
+        return pa.table({"tok": pa.array(vc.index, pa.string()),
+                         "cnt": pa.array(vc.to_numpy(np.int64),
+                                         pa.int64())})
+
+    def tok_partial_tgt(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch.column("lang"),
+                                    pa.scalar(target_lang)))
+        return tok_partial_all(sub)
+
+    src_counts = grouped_agg(
+        docs.map_batches(tok_partial_all, batch_format="pyarrow"),
+        ["tok"], {"cnt": ("cnt", "sum")})
+    tgt_counts = grouped_agg(
+        docs.map_batches(tok_partial_tgt, batch_format="pyarrow"),
+        ["tok"], {"cnt": ("cnt", "sum")})
+    src_ref = _count_map.remote(*src_counts.to_arrow_refs())
+    tgt_ref = _count_map.remote(*tgt_counts.to_arrow_refs())
+
+    def score(batch: pa.Table) -> pa.Table:
+        smap, s_total = ray.get(src_ref)
+        tmap, t_total = ray.get(tgt_ref)
+        vocab = len(smap)  # source vocabulary (superset of target's)
+        text = pc.utf8_trim_whitespace(batch.column("text"))
+        keep = pc.greater(pc.utf8_length(text), 0)
+        sub = batch.filter(keep)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(sub.column("text")), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pd.Series(toks.flatten().to_pylist())
+        off = np.asarray(toks.offsets)
+        lens = np.diff(off).astype(np.int64)
+        cs = flat.map(smap).to_numpy(np.float64)
+        ct = flat.map(lambda t: tmap.get(t, 0)).to_numpy(np.float64)
+        lp = (np.log((ct + 1.0) / float(t_total + vocab))
+              - np.log((cs + 1.0) / float(s_total + vocab)))
+        sums = np.add.reduceat(lp, off[:-1]) if len(lp) else np.empty(0)
+        return pa.table({
+            "doc_id": sub.column("doc_id"),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "log_ratio": pa.array(sums / lens, pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

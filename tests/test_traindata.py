@@ -185,3 +185,20 @@ class TestPercentiles:
         a = exact_percentiles(SF, n_buckets=16).to_pandas()
         b = exact_percentiles(SF, n_buckets=512).to_pandas()
         assert a.equals(b)
+
+
+class TestDsirLogratio:
+    def test_target_language_docs_score_higher(self):
+        from chameleon_entity_linking_ray.pipelines.traindata import dsir_logratio
+        got = dsir_logratio(SF).to_pandas()
+        docs = _docs()[["doc_id", "lang"]]
+        m = got.merge(docs, on="doc_id")
+        en = m.loc[m["lang"] == "en", "log_ratio"]
+        rest = m.loc[m["lang"] != "en", "log_ratio"]
+        assert len(en) and len(rest)
+        # the importance weight must separate the target domain: the
+        # synthetic corpus shares most template vocabulary across
+        # languages, so the margin is small but the SIGN must split
+        assert en.mean() > 0 > rest.mean()
+        per_lang = m.groupby("lang")["log_ratio"].mean()
+        assert (per_lang.drop("en") < per_lang["en"]).all()
