@@ -43,9 +43,11 @@ _NORM_SQL = ("trim(regexp_replace(regexp_replace(lower({col}), "
              r"'[^\w\s]+', ' ', 'g'), '\s+', ' ', 'g'))")
 
 
-def _langid_sql() -> str:
-    """Generated from the SAME stopword lists as the Python kernel
-    (functions/text.py LANG_STOPWORDS), so semantics agree by construction."""
+def _stopword_scores_sql() -> dict[str, str]:
+    """Per-language stopword-hit-sum SQL fragments, generated from the
+    SAME stopword lists as the Python kernel (functions/text.py
+    LANG_STOPWORDS) — the ONE copy shared by every oracle that embeds
+    language ID (_langid_sql, _corpus_prep_sql, _curation_funnel_sql)."""
     from chameleon_entity_linking_ray.functions.text import LANG_STOPWORDS
     from chameleon_entity_linking_ray.pipelines.corpus import LANG_ORDER
 
@@ -54,15 +56,32 @@ def _langid_sql() -> str:
                  for w in LANG_STOPWORDS[lang]]
         return "(" + " + ".join(terms) + ")"
 
-    s = {lang: score(lang) for lang in LANG_ORDER}
+    return {lang: score(lang) for lang in LANG_ORDER}
+
+
+# first-max-wins language pick over the s_en/s_de/s_fr score columns —
+# shared verbatim by every langid-embedding oracle
+_LANG_CASE_SQL = """CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END"""
+
+# doc_quality's blend formula — shared by the composed-funnel oracles
+_QUALITY_SQL = r"""ROUND(0.5 * LEAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END,
+                   100) / 100.0 +
+              0.5 * (1.0 - len(regexp_extract_all(text, '[^\w\s]'))
+                     / GREATEST(length(text), 1)), 6)"""
+
+
+def _langid_sql() -> str:
+    """Generated from the SAME stopword lists as the Python kernel
+    (functions/text.py LANG_STOPWORDS), so semantics agree by construction."""
+    s = _stopword_scores_sql()
     return f"""
     WITH s AS (SELECT doc_id, {s['en']} AS s_en, {s['de']} AS s_de,
                       {s['fr']} AS s_fr FROM documents)
-    SELECT doc_id,
-           CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
-                WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
-                WHEN s_de >= s_fr THEN 'de'
-                ELSE 'fr' END AS lang_pred
+    SELECT doc_id, {_LANG_CASE_SQL} AS lang_pred
     FROM s"""
 
 
@@ -72,32 +91,17 @@ def _corpus_prep_sql(quality_min: float = 0.5, lang: str = "en",
     filter -> simhash-banded fuzzy dedup (recursive-CTE closure,
     min-id canonical) -> prefix-sum sequence packing, each sub-expression
     identical to the standalone operators' oracles."""
-    from chameleon_entity_linking_ray.functions.text import LANG_STOPWORDS
-    from chameleon_entity_linking_ray.pipelines.corpus import LANG_ORDER
-
-    def score(lg: str) -> str:
-        return "(" + " + ".join(
-            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
-            for w in LANG_STOPWORDS[lg]) + ")"
-
-    s = {lg: score(lg) for lg in LANG_ORDER}
+    s = _stopword_scores_sql()
     return rf"""
     WITH RECURSIVE scored AS (
         SELECT doc_id, text,
-               ROUND(0.5 * LEAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+')) END,
-                        100) / 100.0 +
-                     0.5 * (1.0 - len(regexp_extract_all(text, '[^\w\s]'))
-                            / GREATEST(length(text), 1)), 6) AS quality,
+               {_QUALITY_SQL} AS quality,
                {s['en']} AS s_en, {s['de']} AS s_de, {s['fr']} AS s_fr
         FROM documents
     ), q AS (
         SELECT doc_id, text FROM scored
         WHERE quality >= {quality_min}
-          AND (CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
-                    WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
-                    WHEN s_de >= s_fr THEN 'de'
-                    ELSE 'fr' END) = '{lang}'
+          AND ({_LANG_CASE_SQL}) = '{lang}'
     ), toks AS (
         SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text),
                                                                '\s+'))) AS t
@@ -349,27 +353,13 @@ def _curation_funnel_sql(lang: str = "en", quality_min: float = 0.75,
     standalone operators' oracles (langid / quality / md5-sample), the
     dedup gate is a MIN window over the prefix key among stage-2
     survivors — semantics pinned by construction."""
-    from chameleon_entity_linking_ray.functions.text import LANG_STOPWORDS
-    from chameleon_entity_linking_ray.pipelines.corpus import LANG_ORDER
-
-    def score(lg: str) -> str:
-        return "(" + " + ".join(
-            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
-            for w in LANG_STOPWORDS[lg]) + ")"
-
-    s = {lg: score(lg) for lg in LANG_ORDER}
+    s = _stopword_scores_sql()
     return f"""
     WITH s AS (SELECT doc_id, text, {s['en']} AS s_en, {s['de']} AS s_de,
                       {s['fr']} AS s_fr FROM documents),
     base AS (SELECT doc_id,
-        CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
-             WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
-             WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred,
-        ROUND(0.5 * LEAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                   ELSE len(string_split_regex(trim(text), '\\s+')) END,
-                   100) / 100.0 +
-              0.5 * (1.0 - len(regexp_extract_all(text, '[^\\w\\s]'))
-                     / GREATEST(length(text), 1)), 6) AS quality,
+        {_LANG_CASE_SQL} AS lang_pred,
+        {_QUALITY_SQL} AS quality,
         array_to_string(string_split_regex(trim(text),
                         '\\s+')[1:{prefix_tokens}], ' ') AS key,
         substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
@@ -1305,8 +1295,6 @@ def oracle_sql() -> dict[str, str]:
               JOIN nation ON c_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
             GROUP BY CUBE(r_name, n_name)""",
-        # per-node triangle counts: canonical src<dst edge set, 3-way
-        # self-join, each triangle credits its three corners
         # k-core fixpoint: single-row recursive CTE carrying the surviving
         # node list; adjacency rides as a MAP expression (the dfs pattern
         # without correlated subqueries, which DuckDB's binder rejects
@@ -1343,6 +1331,8 @@ def oracle_sql() -> dict[str, str]:
                                                  CAST([] AS BIGINT[])),
                         x -> list_contains(nodes, x))) AS BIGINT) AS deg
             FROM members, amap""",
+        # per-node triangle counts: canonical src<dst edge set, 3-way
+        # self-join, each triangle credits its three corners
         "triangles_copurchase": """
             WITH pairs AS (
                 SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

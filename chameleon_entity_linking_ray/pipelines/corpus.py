@@ -2351,6 +2351,18 @@ def ann_ivf_fixed_topk(sf_dir: str, n_queries: int = 10, k: int = 5,
                         n_centroids=n_centroids, n_probe=n_probe, iters=0)
 
 
+def _int8_quant(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric int8 floor quantization — the ONE copy shared by
+    ``embedding_quantize`` and ``ann_topk_int8`` so the cross-op
+    hash-verifiability contract ('same floor semantics on both sides')
+    cannot drift. Returns (q int64 [n, d], scale float64 [n])."""
+    mx = np.max(np.abs(mat), axis=1)
+    safe = np.where(mx == 0, 1.0, mx)
+    q = np.floor(mat / safe[:, None] * 127.0).astype(np.int64)
+    q[mx == 0] = 0
+    return q, mx
+
+
 def embedding_quantize(sf_dir: str) -> Dataset:
     """Symmetric int8 scalar quantization of the embedding column — the
     storage-shrink step a 100 TB embedding corpus runs before ANN
@@ -2377,10 +2389,7 @@ def embedding_quantize(sf_dir: str) -> Dataset:
                 "max_abs_err": pa.array([], pa.float64())})
         e = np.stack(batch.column("embedding").to_pylist()) \
             .astype(np.float64)
-        mx = np.max(np.abs(e), axis=1)
-        safe = np.where(mx == 0, 1.0, mx)
-        q = np.floor(e / safe[:, None] * 127.0).astype(np.int64)
-        q[mx == 0] = 0
+        q, mx = _int8_quant(e)
         err = np.abs(e - q * mx[:, None] / 127.0)
         return pa.table({
             "vec_id": batch.column("vec_id").cast(pa.int64()),
@@ -2406,18 +2415,12 @@ def ann_topk_int8(sf_dir: str, n_queries: int = 10, k: int = 5) -> Dataset:
     Output (query_id, vec_id, rnk, dot_int)."""
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    def _quant(mat: np.ndarray) -> np.ndarray:
-        mx = np.max(np.abs(mat), axis=1)
-        safe = np.where(mx == 0, 1.0, mx)
-        q = np.floor(mat / safe[:, None] * 127.0).astype(np.int64)
-        q[mx == 0] = 0
-        return q
-
     qdf = pa.concat_tables(
         [b for b in emb.filter(expr=f"vec_id < {n_queries}")
          .iter_batches(batch_format="pyarrow")]).to_pandas()
     qids = qdf["vec_id"].to_numpy(np.int64)
-    qmat = _quant(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    qmat, _ = _int8_quant(
+        np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
     ref = ray.put((qids, qmat))
 
     class Score:
@@ -2426,8 +2429,9 @@ def ann_topk_int8(sf_dir: str, n_queries: int = 10, k: int = 5) -> Dataset:
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            mat = _quant(np.stack(batch.column("embedding").to_pylist())
-                         .astype(np.float64))
+            mat, _ = _int8_quant(
+                np.stack(batch.column("embedding").to_pylist())
+                .astype(np.float64))
             dots = self.qmat @ mat.T  # exact int64 [q, n]
             nq, n = dots.shape
             return pa.table({

@@ -39,6 +39,26 @@ from chameleon_entity_linking_ray.pipelines.corpus import (
 from chameleon_entity_linking_ray.pipelines.traindata import pack_sequences_ds
 
 
+def _doc_gate_scores(text) -> tuple[np.ndarray, np.ndarray]:
+    """(quality round6, lang_pred) per document — the ONE copy of the
+    gate kernels (same formulas as corpus.doc_quality / corpus.doc_langid)
+    shared by ``_quality_lang_filter`` and ``curation_funnel`` so the
+    composed ops cannot drift from the standalone operators' semantics."""
+    n_punct = punct_counts(text)
+    n_tok = np.asarray(pc.cast(token_counts(text), pa.int64())
+                       .to_numpy(zero_copy_only=False))
+    n_chars = np.asarray(pc.utf8_length(text)
+                         .to_numpy(zero_copy_only=False), dtype=np.int64)
+    quality = np.round(0.5 * np.minimum(n_tok, 100) / 100.0 +
+                       0.5 * (1.0 - n_punct / np.maximum(n_chars, 1)), 6)
+    scores = np.stack([stopword_hit_counts(text, LANG_STOPWORDS[lg])
+                       for lg in LANG_ORDER])
+    best = scores.argmax(axis=0)
+    pred = np.array(LANG_ORDER, dtype=object)[best]
+    pred[scores.max(axis=0) == 0] = "und"
+    return quality, pred
+
+
 def _quality_lang_filter(docs: Dataset, quality_min: float,
                          lang: str) -> Dataset:
     """Map-only filter: keep docs whose quality score (same formula as
@@ -47,19 +67,7 @@ def _quality_lang_filter(docs: Dataset, quality_min: float,
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        n_punct = punct_counts(text)
-        n_tok = np.asarray(pc.cast(token_counts(text), pa.int64())
-                           .to_numpy(zero_copy_only=False))
-        n_chars = np.asarray(pc.utf8_length(text)
-                             .to_numpy(zero_copy_only=False), dtype=np.int64)
-        quality = np.round(0.5 * np.minimum(n_tok, 100) / 100.0 +
-                           0.5 * (1.0 - n_punct / np.maximum(n_chars, 1)), 6)
-        scores = np.stack([stopword_hit_counts(text, LANG_STOPWORDS[lg])
-                           for lg in LANG_ORDER])
-        best = scores.argmax(axis=0)
-        pred = np.array(LANG_ORDER, dtype=object)[best]
-        pred[scores.max(axis=0) == 0] = "und"
+        quality, pred = _doc_gate_scores(batch.column("text"))
         keep = (quality >= quality_min) & (pred == lang)
         return batch.filter(pa.array(keep))
 
@@ -141,19 +149,7 @@ def curation_funnel(sf_dir: str, lang: str = "en",
 
     def gates(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
-        n_punct = punct_counts(text)
-        n_tok = np.asarray(pc.cast(token_counts(text), pa.int64())
-                           .to_numpy(zero_copy_only=False))
-        n_chars = np.asarray(pc.utf8_length(text)
-                             .to_numpy(zero_copy_only=False), np.int64)
-        quality = np.round(0.5 * np.minimum(n_tok, 100) / 100.0 +
-                           0.5 * (1.0 - n_punct / np.maximum(n_chars, 1)),
-                           6)
-        scores = np.stack([stopword_hit_counts(text, LANG_STOPWORDS[lg])
-                           for lg in LANG_ORDER])
-        best = scores.argmax(axis=0)
-        pred = np.array(LANG_ORDER, dtype=object)[best]
-        pred[scores.max(axis=0) == 0] = "und"
+        quality, pred = _doc_gate_scores(text)
         p1 = pred == lang
         p2 = p1 & (quality >= quality_min)
         toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text),

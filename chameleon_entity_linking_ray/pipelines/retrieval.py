@@ -73,10 +73,10 @@ def model_retrieval_run(sf_dir: str, n_queries: int = 24, top_k: int = 10,
     w_ref = ray.put(weights)
 
     # ---- encode the query set once on the driver (Q rows, a knob) ----
-    # (SyntheticWeights is a seeded generator: the local instance and the
-    # broadcast copy are bit-identical by construction)
+    # the query encoder fetches the SAME broadcast weights the corpus
+    # pool uses — one generation, no by-construction-identity assumption
     qdf = make_queries(sf_dir, n_queries=n_queries)
-    enc = ModelEmbedder()
+    enc = ModelEmbedder(weights_ref=w_ref)
     enc._embed_surfaces(qdf["query"].tolist())
     qmat = np.stack([enc._emb_cache[t]
                      for t in qdf["query"]]).astype(np.float32)

@@ -709,9 +709,11 @@ def kcore_copurchase(sf_dir: str, k: int = 68,
 
     edges = copurchase_edges(sf_dir).materialize()
     prev_edges = -1
+    converged = False
     for _ in range(max_rounds):
         n_edges = edges.count()
         if n_edges == prev_edges or n_edges == 0:
+            converged = True
             break
         prev_edges = n_edges
         deg = grouped_agg(edges, ["src"], {"deg": (None, "count")})
@@ -720,6 +722,12 @@ def kcore_copurchase(sf_dir: str, k: int = 68,
         edges = semi_join_ds(edges, keep, "src")
         edges = semi_join_ds(edges, keep, "dst",
                              keys_col="src").materialize()
+    if not converged and edges.count() != prev_edges:
+        # a silent cap would ship a non-core (and diverge from the
+        # fixpoint oracle) — fail loudly instead
+        raise RuntimeError(
+            f"k-core did not converge in {max_rounds} rounds; "
+            "raise max_rounds")
 
     if edges.count() == 0:
         return pa.table({"part": pa.array([], pa.int64()),
