@@ -47,7 +47,8 @@ QUERY_NAMES = [
     "model_pair_scores", "entity_span_quirk", "tf_cosine_pairs",
     # round 4 session 2: O6 rotation, curation funnel, int8 embeddings
     "train_interleave", "train_rotation", "curation_funnel",
-    "embedding_quantize", "ann_topk_int8",
+    "embedding_quantize", "ann_topk_int8", "dsir_logratio",
+    "kcore_copurchase",
 ]
 
 
