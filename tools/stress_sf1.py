@@ -42,7 +42,7 @@ KEEP_KEY_TILES = 5
 
 def _build() -> None:
     os.makedirs(DST, exist_ok=True)
-    done = os.path.join(DST, ".done")
+    done = os.path.join(DST, ".done_v2")  # v2: +lang column, +lineitem
     if os.path.exists(done):
         return
 
@@ -90,7 +90,7 @@ def _build() -> None:
     del tiles
 
     docs = pq.read_table(f"{SRC}/documents.parquet",
-                         columns=["doc_id", "text"])
+                         columns=["doc_id", "text", "lang"])
     base_text = docs.column("text").to_pylist()
     tiles = []
     for t in range(TILES):
@@ -101,8 +101,29 @@ def _build() -> None:
                 docs.column("doc_id").to_numpy(zero_copy_only=False)
                 + t * 1_000_000, pa.int64()),
             "text": pa.array(text, pa.string()),
+            "lang": docs.column("lang"),
         }))
     pq.write_table(pa.concat_tables(tiles), f"{DST}/documents.parquet")
+    del tiles
+
+    # lineitem (6M rows): orderkeys track the orders offsets; partkeys
+    # KEPT for tiles 0-4 (the same parts appear in 5x more orders — the
+    # co-purchase degree distribution, and thus every k-core peel round
+    # and triangle/band bucket, grows 5x), fresh parts for tiles 5-9
+    li = pq.read_table(f"{SRC}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"])
+    tiles = []
+    for t in range(TILES):
+        pk = li.column("l_partkey").to_numpy(zero_copy_only=False)
+        if t >= KEEP_KEY_TILES:
+            pk = pk + 1_000_000 * (t + 1)
+        tiles.append(pa.table({
+            "l_orderkey": pa.array(
+                li.column("l_orderkey").to_numpy(zero_copy_only=False)
+                + t * 10_000_000, pa.int64()),
+            "l_partkey": pa.array(pk.astype(np.int64), pa.int64()),
+        }))
+    pq.write_table(pa.concat_tables(tiles), f"{DST}/lineitem.parquet")
     open(done, "w").write("ok")
     print(f"built sf1 stress tables under {DST}: events={n * TILES}")
 
@@ -126,15 +147,22 @@ def main() -> int:
     from chameleon_entity_linking_ray.pipelines.corpus import (
         simhash_dup_pairs,
     )
+    from chameleon_entity_linking_ray.pipelines.traindata import (
+        dsir_logratio,
+    )
+    from chameleon_entity_linking_ray.stages.graph import kcore_copurchase
 
     results = {}
     for name, fn in [
         ("simhash_dup_pairs", simhash_dup_pairs),
         ("asof_events_orders", asof_join_events_orders),
         ("event_pairs_within", event_pairs_within),
+        ("dsir_logratio", dsir_logratio),
+        ("kcore_copurchase", kcore_copurchase),
     ]:
         t0 = time.time()
-        rows = fn(DST).count()
+        res = fn(DST)
+        rows = res.num_rows if isinstance(res, pa.Table) else res.count()
         sec = round(time.time() - t0, 2)
         results[name] = {"rows": rows, "sec": sec}
         print(json.dumps({"query": name, "rows": rows, "sec": sec}))
