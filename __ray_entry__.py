@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_semi": A.events_semi,
         "customers_no_orders": A.customers_no_orders,
         "merge_runs": A.merge_runs,
+        "stringsort_rank_quirk": A.stringsort_rank_quirk,
         "topk_per_customer": A.topk_per_customer,
         "distinct_counts": A.distinct_counts,
         "asof_events_orders": A.asof_join_events_orders,
@@ -1364,6 +1365,28 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_orders": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)""",
+        # O2 faithful mode: scores compared as STRINGS (binary collation
+        # = Python byte-wise compare), the reference merge_results quirk
+        "stringsort_rank_quirk": """
+            WITH c AS (SELECT o_custkey AS qid, o_orderkey AS pid,
+                              CAST(trunc(o_totalprice * 100) AS BIGINT)
+                                  AS score_c
+                       FROM orders),
+            e AS (SELECT qid, pid, score_c,
+                         CAST(score_c // 100 AS VARCHAR) || '.' ||
+                         lpad(CAST(score_c % 100 AS VARCHAR), 2, '0')
+                             AS score_str
+                  FROM c),
+            r AS (SELECT qid, pid, score_str,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY score_str DESC, pid) AS rank_str,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY score_c DESC, pid) AS rank_num
+                  FROM e)
+            SELECT CAST(qid AS BIGINT) AS qid, CAST(pid AS BIGINT) AS pid,
+                   score_str, CAST(rank_str AS BIGINT) AS rank_str,
+                   CAST(rank_num AS BIGINT) AS rank_num
+            FROM r WHERE rank_str <= 10""",
         "merge_runs": """
             SELECT o_orderkey, CAST(MIN(src) AS BIGINT) AS src FROM (
                 SELECT o_orderkey, 0 AS src FROM orders WHERE o_orderstatus = 'F'

@@ -2555,3 +2555,63 @@ def percent_rank_orders(sf_dir: str, num_buckets: int = 32) -> Dataset:
             "pct_rank": pa.array(pr, pa.float64())})
 
     return wds.map_batches(attach, batch_format="pyarrow")
+
+
+# --- O2: the reference's lexicographic string-score sort, faithful mode ---
+
+def stringsort_rank_quirk(sf_dir: str, k: int = 10,
+                          num_buckets: int = 32) -> Dataset:
+    """O2 FAITHFUL MODE: the reference's merge_results.py keeps run
+    scores as STRINGS and sorts them lexicographically
+    (/root/reference/utils/merge_results.py:11,24 — so '99000.00' ranks
+    above '100000.00'). The engine's run writers use numeric semantics
+    (documented divergence, SURVEY.md O2); this op reproduces the quirk
+    EXACTLY so a user migrating byte-for-byte reference output has the
+    faithful path, and emits both rankings side by side so the quirk's
+    bite is visible (rows where rank_str != rank_num).
+
+    Scores are formatted '%.2f' from exact integer cents with pure
+    numpy string ops (no per-row Python), ranked per customer by
+    (score_str DESC — binary collation, matching Python's byte-wise
+    str comparison — pid ASC as the stable tie-break the reference's
+    insertion order implies). One bucketed shuffle.
+    """
+    from chameleon_entity_linking_ray.stages.agg import _bucket_of
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        c = np.asarray(_cents(batch.column("o_totalprice"))
+                       .to_numpy(zero_copy_only=False), np.int64)
+        whole = (c // 100).astype("U")
+        frac = np.char.zfill((c % 100).astype("U"), 2)
+        s = np.char.add(np.char.add(whole, "."), frac)
+        out = pa.table({
+            "qid": batch.column("o_custkey").cast(pa.int64()),
+            "pid": batch.column("o_orderkey").cast(pa.int64()),
+            "score_str": pa.array(s, pa.string()),
+            "score_c": pa.array(c, pa.int64()),
+        })
+        df = out.to_pandas()
+        df["__qbucket"] = _bucket_of(df, ["qid"], num_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["qid", "score_str", "pid"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank_str"] = g.groupby("qid", sort=False).cumcount() + 1
+        g = g.sort_values(["qid", "score_c", "pid"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank_num"] = g.groupby("qid", sort=False).cumcount() + 1
+        g = g[g["rank_str"] <= k]
+        return pd.DataFrame({
+            "qid": g["qid"].to_numpy(np.int64),
+            "pid": g["pid"].to_numpy(np.int64),
+            "score_str": g["score_str"],
+            "rank_str": g["rank_str"].to_numpy(np.int64),
+            "rank_num": g["rank_num"].to_numpy(np.int64),
+        })
+
+    return orders.map_batches(prep, batch_format="pyarrow") \
+        .groupby("__qbucket").map_groups(ranks, batch_format="pandas")

@@ -174,3 +174,37 @@ class TestPivotRevenue:
         # column sums of the pivot equal the per-segment aggregate
         for s in _SEGMENTS:
             assert wide[s].sum() == by_seg.get(s, 0)
+
+
+class TestStringSortQuirk:
+    def test_matches_reference_string_sort_loop(self):
+        """Pin against the LITERAL reference control flow: scores kept as
+        strings, sorted(key=str, reverse=True) per query
+        (merge_results.py:24), stable on ties."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from chameleon_entity_linking_ray.pipelines.analytics import (
+            stringsort_rank_quirk)
+
+        got = stringsort_rank_quirk("/root/testdata/sf0.001").to_pandas() \
+            .sort_values(["qid", "rank_str"]).reset_index(drop=True)
+
+        df = pq.read_table("/root/testdata/sf0.001/orders.parquet").to_pandas()
+        rows = []
+        for qid, g in df.groupby("o_custkey", sort=True):
+            c = np.trunc(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            entries = sorted(
+                zip(g["o_orderkey"], (f"{x // 100}.{x % 100:02d}"
+                                      for x in c)),
+                key=lambda t: t[0])  # insertion order: pid asc
+            ranked = sorted(entries, key=lambda t: t[1], reverse=True)
+            for r, (pid, s) in enumerate(ranked[:10], start=1):
+                rows.append((int(qid), int(pid), s, r))
+        want = pd.DataFrame(rows, columns=["qid", "pid", "score_str",
+                                           "rank_str"]) \
+            .sort_values(["qid", "rank_str"]).reset_index(drop=True)
+        assert got["pid"].tolist() == want["pid"].tolist()
+        assert got["score_str"].tolist() == want["score_str"].tolist()
+        # the quirk must actually manifest on this data
+        assert (got["rank_str"] != got["rank_num"]).any()
