@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": A.customers_no_orders,
         "merge_runs": A.merge_runs,
         "stringsort_rank_quirk": A.stringsort_rank_quirk,
+        "psi_drift": A.psi_drift,
         "topk_per_customer": A.topk_per_customer,
         "distinct_counts": A.distinct_counts,
         "asof_events_orders": A.asof_join_events_orders,
@@ -1365,6 +1366,34 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_orders": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)""",
+        # PSI drift decomposition: per-bucket Laplace-smoothed
+        # contributions, no cross-engine float summation
+        "psi_drift": """
+            WITH b AS (SELECT CASE WHEN o_orderdate < DATE '1998-01-01'
+                                   THEN 0 ELSE 1 END AS half,
+                              LEAST(9, CAST(FLOOR(o_totalprice / 50000)
+                                            AS BIGINT)) AS bucket
+                       FROM orders),
+            c AS (SELECT half, bucket, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM b GROUP BY half, bucket),
+            g AS (SELECT gs.bucket,
+                         COALESCE(MAX(CASE WHEN c.half = 0
+                                           THEN c.n END), 0) AS n0,
+                         COALESCE(MAX(CASE WHEN c.half = 1
+                                           THEN c.n END), 0) AS n1
+                  FROM (SELECT UNNEST(range(10)) AS bucket) gs
+                  LEFT JOIN c ON c.bucket = gs.bucket
+                  GROUP BY gs.bucket),
+            t AS (SELECT CAST(SUM(n0) AS DOUBLE) AS t0,
+                         CAST(SUM(n1) AS DOUBLE) AS t1 FROM g)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(n0 AS BIGINT) AS n_ref,
+                   CAST(n1 AS BIGINT) AS n_cur,
+                   ROUND(((n0 + 1.0) / (t0 + 10)
+                          - (n1 + 1.0) / (t1 + 10))
+                         * ln(((n0 + 1.0) / (t0 + 10))
+                              / ((n1 + 1.0) / (t1 + 10))), 6) AS contrib
+            FROM g CROSS JOIN t""",
         # O2 faithful mode: scores compared as STRINGS (binary collation
         # = Python byte-wise compare), the reference merge_results quirk
         "stringsort_rank_quirk": """

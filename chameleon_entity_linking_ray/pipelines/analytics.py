@@ -2615,3 +2615,52 @@ def stringsort_rank_quirk(sf_dir: str, k: int = 10,
 
     return orders.map_batches(prep, batch_format="pyarrow") \
         .groupby("__qbucket").map_groups(ranks, batch_format="pandas")
+
+
+# --- data-quality: population-stability drift between two periods ---
+
+def psi_drift(sf_dir: str, split: str = "1998-01-01",
+              bucket_width: float = 50000.0,
+              n_bkt: int = 10) -> Dataset:
+    """Population Stability Index decomposition for order-value drift
+    between two date halves — the production data-quality check a
+    long-running ingest pipeline gates on (PSI > 0.2 = investigate).
+
+    One COMBINER pass: per-block (half, bucket) counts collapse through
+    one tiny grouped aggregate (2 x n_bkt rows on the driver — a knob);
+    each bucket's Laplace-smoothed contribution
+    ``(p - q) * ln(p / q)`` is emitted per row, so the output is exact
+    per-bucket arithmetic with NO cross-engine float summation (sum the
+    ``contrib`` column for the headline PSI). Output
+    (bucket, n_ref, n_cur, contrib).
+    """
+    orders = read_table(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    split_ns = np.datetime64(split)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").cast(pa.timestamp("us")) \
+            .to_numpy(zero_copy_only=False)
+        half = (d >= split_ns).astype(np.int64)
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        bkt = np.minimum(n_bkt - 1,
+                         (price // bucket_width).astype(np.int64))
+        df = pd.DataFrame({"half": half, "bucket": bkt})
+        out = df.groupby(["half", "bucket"]).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = grouped_agg(orders.map_batches(partial, batch_format="pyarrow"),
+                         ["half", "bucket"], {"n": ("n", "sum")}) \
+        .to_pandas()
+    n0 = np.zeros(n_bkt, np.int64)
+    n1 = np.zeros(n_bkt, np.int64)
+    for _, r in counts.iterrows():
+        (n0 if r["half"] == 0 else n1)[int(r["bucket"])] = int(r["n"])
+    t0, t1 = float(n0.sum()), float(n1.sum())
+    p = (n0 + 1.0) / (t0 + n_bkt)
+    q = (n1 + 1.0) / (t1 + n_bkt)
+    contrib = np.round((p - q) * np.log(p / q), 6)
+    return ray.data.from_arrow(pa.table({
+        "bucket": pa.array(np.arange(n_bkt, dtype=np.int64)),
+        "n_ref": pa.array(n0), "n_cur": pa.array(n1),
+        "contrib": pa.array(contrib, pa.float64())}))

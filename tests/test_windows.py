@@ -208,3 +208,15 @@ class TestStringSortQuirk:
         assert got["score_str"].tolist() == want["score_str"].tolist()
         # the quirk must actually manifest on this data
         assert (got["rank_str"] != got["rank_num"]).any()
+
+
+class TestPsiDrift:
+    def test_contributions_nonnegative_and_buckets_complete(self):
+        from chameleon_entity_linking_ray.pipelines.analytics import psi_drift
+        df = psi_drift("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("bucket").reset_index(drop=True)
+        assert df["bucket"].tolist() == list(range(10))
+        # (p - q) * ln(p / q) is nonnegative term by term
+        assert (df["contrib"] >= 0).all()
+        assert df["n_ref"].sum() > 0 and df["n_cur"].sum() > 0
+        assert df["n_ref"].sum() + df["n_cur"].sum() == 1500
