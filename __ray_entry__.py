@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_runs": A.merge_runs,
         "stringsort_rank_quirk": A.stringsort_rank_quirk,
         "psi_drift": A.psi_drift,
+        "dq_checks": A.dq_checks,
         "topk_per_customer": A.topk_per_customer,
         "distinct_counts": A.distinct_counts,
         "asof_events_orders": A.asof_join_events_orders,
@@ -1366,6 +1367,31 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_orders": """
             SELECT c_custkey FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)""",
+        # declarative DQ gate: one row per constraint rule
+        "dq_checks": """
+            WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                       AS dup_keys,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                   CAST(SUM(CASE WHEN o_totalprice < 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS neg,
+                   CAST(SUM(CASE WHEN o_orderdate
+                                      < TIMESTAMP '1990-01-01'
+                                   OR o_orderdate
+                                      >= TIMESTAMP '2030-01-01'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS oob
+                       FROM orders),
+            fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS bad
+                   FROM orders o LEFT JOIN customer c
+                     ON o.o_custkey = c.c_custkey
+                   WHERE c.c_custkey IS NULL)
+            SELECT 'unique_orderkey' AS rule, dup_keys AS violations,
+                   n AS n_checked FROM t
+            UNION ALL SELECT 'fk_custkey_customer', bad, n FROM t, fk
+            UNION ALL SELECT 'null_custkey', nulls, n FROM t
+            UNION ALL SELECT 'nonneg_price', neg, n FROM t
+            UNION ALL SELECT 'date_in_range', oob, n FROM t""",
         # PSI drift decomposition: per-bucket Laplace-smoothed
         # contributions, no cross-engine float summation
         "psi_drift": """

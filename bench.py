@@ -48,7 +48,7 @@ QUERY_NAMES = [
     # round 4 session 2: O6 rotation, curation funnel, int8 embeddings
     "train_interleave", "train_rotation", "curation_funnel",
     "embedding_quantize", "ann_topk_int8", "dsir_logratio",
-    "kcore_copurchase", "stringsort_rank_quirk", "psi_drift",
+    "kcore_copurchase", "stringsort_rank_quirk", "psi_drift", "dq_checks",
 ]
 
 

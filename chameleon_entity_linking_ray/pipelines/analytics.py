@@ -2664,3 +2664,71 @@ def psi_drift(sf_dir: str, split: str = "1998-01-01",
         "bucket": pa.array(np.arange(n_bkt, dtype=np.int64)),
         "n_ref": pa.array(n0), "n_cur": pa.array(n1),
         "contrib": pa.array(contrib, pa.float64())}))
+
+
+# --- data-quality: declarative constraint checks with violation counts ---
+
+def dq_checks(sf_dir: str) -> Dataset:
+    """Constraint-violation report over orders — the data-quality gate an
+    ingest pipeline runs before promoting a batch: key uniqueness,
+    referential integrity to customer, domain and nullability rules.
+    One row per rule: (rule, violations, n_checked).
+
+    Shape: the row-local rules (null / domain / range) are ONE map-only
+    combiner pass emitting per-block partial counts (a tiny aggregate
+    collapses them); uniqueness is COUNT(*) minus the bucketed distinct
+    count; the FK check broadcasts the customer key set (dimension-table
+    small by definition) and counts anti-join survivors — no shuffle of
+    the fact table anywhere. Driver state: one scalar per rule.
+    """
+    from chameleon_entity_linking_ray.stages.joins import broadcast_semi_join
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_totalprice",
+                         "o_orderdate"])
+    lo = np.datetime64("1990-01-01")
+    hi = np.datetime64("2030-01-01")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ck = batch.column("o_custkey")
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        d = batch.column("o_orderdate").cast(pa.timestamp("us")) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "null_custkey": pa.array([ck.null_count], pa.int64()),
+            "neg_price": pa.array([int((price < 0).sum())], pa.int64()),
+            "date_oob": pa.array([int(((d < lo) | (d >= hi)).sum())],
+                                 pa.int64()),
+        })
+
+    sums = grouped_agg(
+        orders.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda b: b.append_column("g", pa.array([0] * b.num_rows,
+                                                             pa.int64())),
+                     batch_format="pyarrow"),
+        ["g"], {"n": ("n", "sum"), "null_custkey": ("null_custkey", "sum"),
+                "neg_price": ("neg_price", "sum"),
+                "date_oob": ("date_oob", "sum")}).to_pandas().iloc[0]
+
+    n_rows = int(sums["n"])
+    n_distinct = int(distinct(orders.select_columns(["o_orderkey"]),
+                              ["o_orderkey"]).count())
+
+    cust = read_table(sf_dir, "customer", ["c_custkey"])
+    ckeys = pa.concat_tables(
+        [b for b in cust.iter_batches(batch_format="pyarrow")]) \
+        .column("c_custkey").combine_chunks()
+    fk_bad = int(broadcast_semi_join(orders.select_columns(["o_custkey"]),
+                                     ckeys, "o_custkey",
+                                     anti=True).count())
+
+    rules = ["unique_orderkey", "fk_custkey_customer", "null_custkey",
+             "nonneg_price", "date_in_range"]
+    viol = [n_rows - n_distinct, fk_bad, int(sums["null_custkey"]),
+            int(sums["neg_price"]), int(sums["date_oob"])]
+    return ray.data.from_arrow(pa.table({
+        "rule": pa.array(rules, pa.string()),
+        "violations": pa.array(viol, pa.int64()),
+        "n_checked": pa.array([n_rows] * len(rules), pa.int64())}))

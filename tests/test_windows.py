@@ -220,3 +220,43 @@ class TestPsiDrift:
         assert (df["contrib"] >= 0).all()
         assert df["n_ref"].sum() > 0 and df["n_cur"].sum() > 0
         assert df["n_ref"].sum() + df["n_cur"].sum() == 1500
+
+
+class TestDqChecks:
+    def test_clean_data_has_zero_violations(self):
+        from chameleon_entity_linking_ray.pipelines.analytics import dq_checks
+        df = dq_checks("/root/testdata/sf0.001").to_pandas()
+        assert len(df) == 5
+        assert (df["violations"] == 0).all()
+        assert (df["n_checked"] == 1500).all()
+
+    def test_planted_violations_are_counted(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+        from chameleon_entity_linking_ray.pipelines.analytics import dq_checks
+
+        pd.DataFrame({"c_custkey": np.array([1, 2, 3], np.int64)}) \
+            .to_parquet(tmp_path / "customer.parquet")
+        orders = pd.DataFrame({
+            # one duplicate orderkey
+            "o_orderkey": np.array([10, 10, 11, 12, 13], np.int64),
+            # one unknown custkey (99), one NULL
+            "o_custkey": pd.array([1, 2, 99, None, 3],
+                                  dtype=pd.Int64Dtype()),
+            # one negative price
+            "o_totalprice": [5.0, 6.0, -1.0, 7.0, 8.0],
+            # one out-of-range date
+            "o_orderdate": pd.to_datetime(
+                ["1995-06-01", "1996-06-01", "1997-06-01",
+                 "1980-01-01", "1998-06-01"]),
+        })
+        orders.to_parquet(tmp_path / "orders.parquet")
+        df = dq_checks(str(tmp_path)).to_pandas().set_index("rule")
+        assert df.loc["unique_orderkey", "violations"] == 1
+        # NULL custkey rows do not join customer either, so the FK rule
+        # sees both the unknown key and the NULL (SQL LEFT JOIN parity)
+        assert df.loc["fk_custkey_customer", "violations"] == 2
+        assert df.loc["null_custkey", "violations"] == 1
+        assert df.loc["nonneg_price", "violations"] == 1
+        assert df.loc["date_in_range", "violations"] == 1
+        assert (df["n_checked"] == 5).all()
