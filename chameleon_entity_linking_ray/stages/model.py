@@ -254,11 +254,16 @@ class ModelPairScorer:
     def _embed_surfaces(self, texts: list[str]) -> None:
         """Encode not-yet-cached distinct surfaces: [CLS] grams [SEP],
         one sequence per surface, pooled over the gram tokens."""
+        # Clear-on-cap BEFORE computing todo: if the clear ran after,
+        # surfaces that were cache hits a line earlier would be evicted
+        # without re-insertion and the caller's _emb_cache[t] lookup
+        # would KeyError mid-stream (exactly the unbounded-distinct
+        # corpus-encoding path that reaches the cap).
+        if len(self._emb_cache) >= self._cache_cap:
+            self._emb_cache.clear()
         todo = [t for t in dict.fromkeys(texts) if t not in self._emb_cache]
         if not todo:
             return
-        if len(self._emb_cache) >= self._cache_cap:
-            self._emb_cache.clear()
         toks = []
         for t in todo:
             ti, tw = self._encode_text(t)
@@ -315,8 +320,9 @@ class ModelPairScorer:
                     .append_column("tok_fallback",
                                    pa.array([], pa.bool_())))
         if self.mode == "bi":
-            self._embed_surfaces(left)
-            self._embed_surfaces(right)
+            # one embed call for BOTH sides: a second call's cap-clear
+            # must never evict surfaces the first call just cached
+            self._embed_surfaces(left + right)
             a = np.stack([self._emb_cache[t] for t in left])
             b = np.stack([self._emb_cache[t] for t in right])
             scores = _cosine_01(a, b)
