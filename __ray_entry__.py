@@ -287,6 +287,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- graph expansion (reference entity_expander parity) ---
         "bfs_copurchase": _q_bfs,
         "dfs_copurchase": _q_dfs,
+        # visualize_expanded_entities parity: the star edge list the
+        # reference feeds networkx, as data rows (render via format_dot)
+        "expanded_edges_dfs": _q_expanded_edges,
         "ppr_copurchase": _q_ppr,
         "degree_histogram": _q_degree_hist,
         "edge_overlap": _q_edge_overlap,
@@ -405,6 +408,13 @@ def _q_dfs(sf_dir):
     return dfs_copurchase(sf_dir, seed_part=0, k=20)
 
 
+def _q_expanded_edges(sf_dir):
+    from chameleon_entity_linking_ray.stages.graph import (
+        expanded_edges_copurchase,
+    )
+    return expanded_edges_copurchase(sf_dir, seed_part=0, k=20, limit=5)
+
+
 def _q_ppr(sf_dir):
     from chameleon_entity_linking_ray.stages.graph import ppr_copurchase
     return ppr_copurchase(sf_dir, seed_part=0)
@@ -450,7 +460,7 @@ def _q_media_resize(sf_dir):
     return resize_media(media, out_w=4, out_h=4)
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     title = _TITLE_TEXT_SQL
     norm = _NORM_SQL.format(col="surface")
     return {
@@ -1881,11 +1891,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM tk GROUP BY doc_id
             ), df AS (
                 SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok
+            ), cap AS (
+                -- relative rare-token cap: max(30, ceil(6% of non-empty
+                -- docs)) — matches tf_cosine_pairs' df_frac default
+                SELECT GREATEST(30, CAST(CEIL(0.06 * COUNT(*)) AS BIGINT))
+                       AS cap
+                FROM documents WHERE length(trim(text)) > 0
             ), cand AS (
                 SELECT DISTINCT a.doc_id AS left_doc, b.doc_id AS right_doc
                 FROM tk a JOIN tk b ON a.tok = b.tok
                  AND a.doc_id < b.doc_id
-                WHERE a.tok IN (SELECT tok FROM df WHERE df <= 30)
+                WHERE a.tok IN (SELECT tok FROM df
+                                WHERE df <= (SELECT cap FROM cap))
             ), dots AS (
                 SELECT c.left_doc, c.right_doc,
                        CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
@@ -2815,6 +2832,20 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_distinct_est
             FROM a""",
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # visualize_expanded_entities parity: the star edge list is a pure
+    # projection of the DFS walk (src=seed, dst=node) capped at the
+    # reference's [:5] (utils/visualize_expanded_entities.py:21-32) —
+    # derive the oracle from the dfs stack-machine CTE so the two can
+    # never drift
+    d["expanded_edges_dfs"] = f"""
+        WITH dfs AS ({d['dfs_copurchase']})
+        SELECT seed AS src, node AS dst, visit_order
+        FROM dfs WHERE visit_order <= 5"""
+    return d
 
 
 def _ann_lsh_sql(n_queries: int = 10, k: int = 5, n_planes: int = 8) -> str:

@@ -50,6 +50,17 @@ class LinkageConfig:
     # batches keep the autoscaling pool saturated (pool scales on queue depth)
     num_hash_buckets: int = 32  # partitioned hash-join bucket count
 
+    # --- device placement (GPU readiness; reference collate target:
+    # /root/reference/CrossEncoder/model.py:29-33, BiEncoder/model.py:68-70).
+    # scorer_num_gpus > 0 reserves that GPU fraction per scoring actor
+    # (map_batches num_gpus); scorer_device is forwarded to model-backed
+    # scorer classes that accept a ``device`` kwarg and resolves with the
+    # reference's cuda-if-available-else-cpu fallback. Defaults are the
+    # CPU-only sandbox; on a GPU fleet set (1.0, "cuda") — nothing else
+    # changes.
+    scorer_num_gpus: float = 0.0
+    scorer_device: str = "cpu"
+
     # determinism note: the global 16-byte string-hash key lives in
     # functions/hashing.py:HASH_KEY (it is a library constant, not a
     # per-pipeline knob — two runs must agree on it to share checkpoints)

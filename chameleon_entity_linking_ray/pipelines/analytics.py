@@ -2565,16 +2565,20 @@ def stringsort_rank_quirk(sf_dir: str, k: int = 10,
     scores as STRINGS and sorts them lexicographically
     (/root/reference/utils/merge_results.py:11,24 — so '99000.00' ranks
     above '100000.00'). The engine's run writers use numeric semantics
-    (documented divergence, SURVEY.md O2); this op reproduces the quirk
-    EXACTLY so a user migrating byte-for-byte reference output has the
-    faithful path, and emits both rankings side by side so the quirk's
-    bite is visible (rows where rank_str != rank_num).
+    (documented divergence, SURVEY.md O2); this op reproduces the
+    lexicographic quirk so a user migrating byte-for-byte reference
+    output has the faithful path, and emits both rankings side by side
+    so the quirk's bite is visible (rows where rank_str != rank_num).
 
     Scores are formatted '%.2f' from exact integer cents with pure
     numpy string ops (no per-row Python), ranked per customer by
     (score_str DESC — binary collation, matching Python's byte-wise
-    str comparison — pid ASC as the stable tie-break the reference's
-    insertion order implies). One bucketed shuffle.
+    str comparison — pid ASC as a DETERMINISTIC STAND-IN tie-break: the
+    reference's stable sorted() keeps run-file insertion order on tied
+    score strings, which depends on the order merge inputs were read,
+    so byte-for-byte parity is guaranteed only where score strings are
+    tie-free; pid-asc makes the engine's choice reproducible). One
+    bucketed shuffle.
     """
     from chameleon_entity_linking_ray.stages.agg import _bucket_of
 

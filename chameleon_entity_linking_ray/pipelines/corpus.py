@@ -1942,25 +1942,52 @@ def blocking_stats(sf_dir: str, window: int = 6) -> Dataset:
 
 
 def tf_cosine_pairs(sf_dir: str, threshold: float = 0.6,
-                    df_cap: int = 30) -> Dataset | pa.Table:
+                    df_cap: int | None = None, df_frac: float = 0.06,
+                    broadcast_threshold: int = 2_000_000
+                    ) -> Dataset | pa.Table:
     """Integer-TF cosine similarity join over documents — the sparse
     bag-of-words twin of ``embedding_near_dups``: candidates from
     RARE-TOKEN blocking (a pair qualifies iff it shares a token whose
-    document frequency is <= ``df_cap``; pairs per token bounded by
-    df_cap^2/2, skew-proof like ``ngram_jaccard_pairs``), disposed by
+    document frequency is <= the cap; pairs per token bounded by
+    cap^2/2, skew-proof like ``ngram_jaccard_pairs``), disposed by
     EXACT cosine over integer term frequencies. dot and the two squared
     norms are exact int64 sums (order-independent), sqrt is correctly
     rounded IEEE, and the final division mirrors the SQL expression — so
-    the raw doubles hash-match with no rounding anywhere. Disposal
-    probes a broadcast (doc_id -> text) table assembled from block
-    refs; above a few million docs swap it for the schema-pinned
-    ``hash_join`` chain exactly as ``exact_jaccard_filter`` does past
-    its ``broadcast_threshold``.
+    the raw doubles hash-match with no rounding anywhere.
+
+    The cap is RELATIVE by default: ``max(30, ceil(df_frac * non-empty
+    docs))`` — an absolute cap silently empties out as the corpus grows
+    (a token rare at 500 docs has 10x the df at 5,000), which is exactly
+    what made the sf0.1 bench time an empty pipeline in round 4. Pass
+    ``df_cap`` to pin an absolute cap.
+
+    Disposal text attachment is threshold-or-join (the
+    ``exact_jaccard_filter`` pattern): up to ``broadcast_threshold`` docs
+    the (doc_id -> text) table is assembled worker-side from block refs
+    and probed in one map; beyond it the schema-pinned bucketed
+    ``hash_join`` chain attaches both texts with shuffles.
+
+    The result is materialized before returning — OUTPUT-bound (only
+    pairs above ``threshold``), never the corpus — because the all-
+    filtered case must return the typed empty Arrow table from the
+    driver (Ray cannot keep a 0-row Dataset's schema through
+    ``to_pandas``); callers accept ``Dataset | pa.Table``.
     """
     from chameleon_entity_linking_ray.stages.blocking import _run_pairs
     from chameleon_entity_linking_ray.stages.joins import semi_join_ds
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    if df_cap is None:
+        def nonempty(batch: pa.Table) -> pa.Table:
+            t = pc.utf8_trim_whitespace(batch.column("text"))
+            n = pc.sum(pc.greater(pc.utf8_length(t), 0)).as_py() or 0
+            return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+        n_docs = docs.map_batches(nonempty, batch_format="pyarrow") \
+            .sum("n") or 0
+        import math
+        df_cap = max(30, math.ceil(df_frac * n_docs))
 
     def tok_rows(batch: pa.Table) -> pa.Table:
         # vectorized explode (the doc_token_rows offset-arithmetic
@@ -2015,20 +2042,7 @@ def tf_cosine_pairs(sf_dir: str, threshold: float = 0.6,
     cand = _dedup_pairs(cand, "left_doc", "right_doc",
                         ["left_doc", "right_doc"])
 
-    ref = _assemble_doc_texts.remote(
-        *docs.select_columns(["doc_id", "text"]).to_arrow_refs())
-
-    def dispose(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"left_doc": pa.array([], pa.int64()),
-                          "right_doc": pa.array([], pa.int64()),
-                          "cosine": pa.array([], pa.float64())})
-        if batch.num_rows == 0:
-            return empty
-        ids_s, texts = ray.get(ref)
-        li = batch.column("left_doc").to_numpy(zero_copy_only=False)
-        ri = batch.column("right_doc").to_numpy(zero_copy_only=False)
-        lt = texts[np.searchsorted(ids_s, li)]
-        rt = texts[np.searchsorted(ids_s, ri)]
+    def _cosine_rows(pairs_tbl: pa.Table, lt, rt) -> pa.Table:
         memo: dict[str, tuple] = {}
 
         def decomp(t: str):
@@ -2041,7 +2055,7 @@ def tf_cosine_pairs(sf_dir: str, threshold: float = 0.6,
                                             .sum())))
             return d
 
-        cos = np.empty(len(li), np.float64)
+        cos = np.empty(pairs_tbl.num_rows, np.float64)
         for i, (a, b) in enumerate(zip(lt, rt)):
             ua, ca, na2 = decomp(a)
             ub, cb, nb2 = decomp(b)
@@ -2050,18 +2064,62 @@ def tf_cosine_pairs(sf_dir: str, threshold: float = 0.6,
             dot = int((ca[ia] * cb[ib]).sum())
             cos[i] = dot / (np.sqrt(float(na2)) * np.sqrt(float(nb2))) \
                 if na2 and nb2 else 0.0
-        t = batch.select(["left_doc", "right_doc"]).append_column(
+        t = pairs_tbl.select(["left_doc", "right_doc"]).append_column(
             "cosine", pa.array(cos, pa.float64()))
         return t.filter(pc.greater_equal(t.column("cosine"), threshold))
 
-    # when no pair clears the threshold (true at sf0.1) every block is
-    # empty and the Dataset API cannot keep the schema: Ray skips
-    # map_batches UDFs on empty blocks AND Dataset.to_pandas() drops the
-    # schema of any 0-row dataset (even a typed from_arrow seed) —
-    # materialize the (pair-bounded) result and return the typed empty
-    # ARROW table itself on the driver (the query contract accepts
-    # Dataset | pa.Table)
-    out = cand.map_batches(dispose, batch_format="pyarrow").materialize()
+    n_all_docs = docs.count()
+    if n_all_docs <= broadcast_threshold:
+        ref = _assemble_doc_texts.remote(
+            *docs.select_columns(["doc_id", "text"]).to_arrow_refs())
+
+        def dispose(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"left_doc": pa.array([], pa.int64()),
+                                 "right_doc": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            ids_s, texts = ray.get(ref)
+            li = batch.column("left_doc").to_numpy(zero_copy_only=False)
+            ri = batch.column("right_doc").to_numpy(zero_copy_only=False)
+            lt = texts[np.searchsorted(ids_s, li)]
+            rt = texts[np.searchsorted(ids_s, ri)]
+            return _cosine_rows(batch, lt, rt)
+
+        scored = cand.map_batches(dispose, batch_format="pyarrow")
+    else:
+        from chameleon_entity_linking_ray.stages.joins import hash_join
+
+        pair_schema = pa.schema([("left_doc", pa.int64()),
+                                 ("right_doc", pa.int64())])
+        docs_schema = pa.schema([("doc_id", pa.int64()),
+                                 ("text", pa.string())])
+        j1_schema = pa.schema([("left_doc", pa.int64()),
+                               ("right_doc", pa.int64()),
+                               ("text", pa.string())])
+        j = hash_join(cand, docs, on=("left_doc",), right_on=("doc_id",),
+                      join_type="inner", schemas=(pair_schema, docs_schema))
+        j = hash_join(j, docs, on=("right_doc",), right_on=("doc_id",),
+                      join_type="inner", right_suffix="_r",
+                      schemas=(j1_schema, docs_schema))
+
+        def dispose_joined(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"left_doc": pa.array([], pa.int64()),
+                                 "right_doc": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            lt = np.asarray(batch.column("text").to_pylist(), object)
+            rt = np.asarray(batch.column("text_r").to_pylist(), object)
+            return _cosine_rows(batch, lt, rt)
+
+        scored = j.map_batches(dispose_joined, batch_format="pyarrow")
+
+    # when no pair clears the threshold every block is empty and the
+    # Dataset API cannot keep the schema: Ray skips map_batches UDFs on
+    # empty blocks AND Dataset.to_pandas() drops the schema of any 0-row
+    # dataset (even a typed from_arrow seed) — materialize the
+    # (pair-bounded) result and return the typed empty ARROW table itself
+    # from the driver (the query contract accepts Dataset | pa.Table)
+    out = scored.materialize()
     if out.count() == 0:
         return pa.table({
             "left_doc": pa.array([], pa.int64()),

@@ -99,12 +99,23 @@ def score_pairs(pairs: Dataset, config: LinkageConfig, stats_ref=None,
     # short (measured 2x slower than fixed at the same max)
     avail = int(ray.cluster_resources().get("CPU", 2))
     pool = max(1, min(config.scorer_concurrency, avail - 1))
+    cls = scorer_cls or PairScorer
     kwargs = {"config": config, "stats_ref": stats_ref}
     kwargs.update(scorer_kwargs or {})
+    # GPU readiness (reference collate target CrossEncoder/model.py:29-33):
+    # forward the device knob to scorer classes that take one (the model
+    # path); reserve scorer_num_gpus per actor when configured — on the
+    # CPU-only default (0.0, "cpu") the plan is byte-identical to before.
+    import inspect
+    if "device" in inspect.signature(cls.__init__).parameters:
+        kwargs.setdefault("device", config.scorer_device)
+    extra: dict = {}
+    if config.scorer_num_gpus > 0:
+        extra["num_gpus"] = config.scorer_num_gpus
     return pairs.map_batches(
-        scorer_cls or PairScorer, fn_constructor_kwargs=kwargs,
+        cls, fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", batch_size=config.scorer_batch_size,
-        concurrency=pool)
+        concurrency=pool, **extra)
 
 
 def matched_edges(scored: Dataset, config: LinkageConfig) -> Dataset:

@@ -59,10 +59,17 @@ def make_queries(sf_dir: str, n_queries: int = 24,
 
 def model_retrieval_run(sf_dir: str, n_queries: int = 24, top_k: int = 10,
                         rerank: bool = True, snippet_tokens: int = 10,
-                        concurrency: tuple = (1, 8)) -> Dataset:
+                        concurrency: tuple = (1, 8), device: str = "cpu",
+                        num_gpus: float = 0.0) -> Dataset:
     """Full retrieve(+rerank) run table: (qid, pid, rank_bi, score_bi
     [, score_ce, rank_ce, tok_fallback]). ``score_bi = 1/rank_bi`` is the
-    reference's run-file score formula (test_retrieval.py:82)."""
+    reference's run-file score formula (test_retrieval.py:82).
+
+    ``device`` / ``num_gpus``: GPU-readiness knobs for the encode pool —
+    the device string resolves with the reference's cuda-if-available
+    fallback (``stages.model.resolve_device``), ``num_gpus > 0`` reserves
+    that fraction per encoder actor. CPU defaults leave the plan
+    unchanged."""
     from chameleon_entity_linking_ray.stages.model import (
         ModelEmbedder,
         ModelPairScorer,
@@ -85,9 +92,12 @@ def model_retrieval_run(sf_dir: str, n_queries: int = 24, top_k: int = 10,
 
     # ---- corpus encoding: actor pool (the 9x1M encode loop) ----------
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    enc_extra: dict = {"num_gpus": num_gpus} if num_gpus > 0 else {}
     embedded = docs.map_batches(
-        ModelEmbedder, fn_constructor_kwargs={"weights_ref": w_ref},
-        batch_format="pyarrow", batch_size=256, concurrency=concurrency)
+        ModelEmbedder,
+        fn_constructor_kwargs={"weights_ref": w_ref, "device": device},
+        batch_format="pyarrow", batch_size=256, concurrency=concurrency,
+        **enc_extra)
 
     # ---- IndexFlatL2 search: per-batch top-k combiner ----------------
     def search(batch: pa.Table) -> pa.Table:

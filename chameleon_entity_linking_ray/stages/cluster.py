@@ -169,7 +169,11 @@ def _unionfind_assignments(edges: Dataset) -> Dataset:
 
 def connected_components(edges: Dataset, num_partitions: int = 32,
                          max_rounds: int = 50,
-                         driver_threshold: int = 2_000_000) -> tuple[Dataset, dict]:
+                         driver_threshold: int = 2_000_000,
+                         checkpoint_dir: str | None = None,
+                         checkpoint_token: str = "",
+                         _fail_after_round: int | None = None
+                         ) -> tuple[Dataset, dict]:
     """edges(u:int64, v:int64) -> (assignments(node:int64, cluster:int64), stats).
 
     ``assignments`` covers every node that appears in an edge; singleton
@@ -181,25 +185,90 @@ def connected_components(edges: Dataset, num_partitions: int = 32,
       the driver.
     - larger: fully distributed alternating star loop — O(log n) rounds of
       bucketed groupby shuffles; nothing driver-side but a checksum.
-    """
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        return _unionfind_assignments(edges), {
-            "cc_rounds": 0, "cc_mode": "unionfind", "cc_edges": n_edges,
-            "cc_converged": True}
 
-    # materialize() per round truncates the lazy lineage — without it every
-    # checksum re-executes all previous rounds. The edge table is the only
-    # pinned intermediate and shrinks toward one row per non-root node.
-    edges = _canon_dedup(edges, num_partitions).materialize()
-    prev = _checksum(edges)
-    rounds = 0
+    With ``checkpoint_dir`` set (star path only — the driver-UF path is a
+    single pass), every star round's contracted edge set is a per-round
+    Parquet checkpoint whose manifest entry carries the round counter and
+    the round's multiset checksum (lineage + metrics); a re-run with the
+    same ``checkpoint_token`` after a mid-loop kill resumes from the
+    latest completed round without touching the input edge stream.
+    ``_fail_after_round`` is the resume test's fault-injection hook."""
+    mgr = None
+    if checkpoint_dir is not None:
+        from chameleon_entity_linking_ray.state.checkpoint import (
+            CheckpointManager,
+            fingerprint,
+        )
+        mgr = CheckpointManager(
+            checkpoint_dir,
+            fingerprint("cc-star", num_partitions, max_rounds,
+                        driver_threshold, checkpoint_token))
+
+    start_round = 1
+    prev = None
+    n_edges = -1
+    edges_m = None
+    if mgr is not None:
+        done = sorted(int(s.rsplit("_", 1)[1])
+                      for s in mgr.manifest["stages"]
+                      if s.startswith("star_round_") and mgr.has(s))
+        if done:
+            latest = done[-1]
+            ent = mgr.manifest["stages"][f"star_round_{latest:03d}"]
+            edges_m = mgr.load(f"star_round_{latest:03d}").materialize()
+            prev = tuple(ent["checksum"])
+            n_edges = int(ent["input_edges"])
+            start_round = latest + 1
+        elif mgr.has("canon_init"):
+            ent = mgr.manifest["stages"]["canon_init"]
+            edges_m = mgr.load("canon_init").materialize()
+            prev = tuple(ent["checksum"])
+            n_edges = int(ent["input_edges"])
+
+    if edges_m is None:
+        import time as _time
+
+        n_edges = edges.count()
+        if n_edges <= driver_threshold:
+            return _unionfind_assignments(edges), {
+                "cc_rounds": 0, "cc_mode": "unionfind", "cc_edges": n_edges,
+                "cc_converged": True}
+
+        # materialize() per round truncates the lazy lineage — without it
+        # every checksum re-executes all previous rounds. The edge table is
+        # the only pinned intermediate and shrinks toward one row per
+        # non-root node.
+        t0 = _time.time()
+        edges_m = _canon_dedup(edges, num_partitions).materialize()
+        prev = _checksum(edges_m)
+        if mgr is not None:
+            edges_m = mgr.save(
+                "canon_init", edges_m, upstream=["input_edges"], t_start=t0,
+                extra={"checksum": [int(prev[0]), int(prev[1])],
+                       "input_edges": int(n_edges)}).materialize()
+
+    edges = edges_m
+    rounds = start_round - 1
     converged = False
-    for rounds in range(1, max_rounds + 1):
+    for rounds in range(start_round, max_rounds + 1):
+        import time as _time
+        t0 = _time.time()
         e = _star_step(edges, _large_star_fn, num_partitions)
         e = _star_step(e, _small_star_fn, num_partitions)
         e = _canon_dedup(e, num_partitions).materialize()
         cur = _checksum(e)
+        if mgr is not None:
+            upstream = [f"star_round_{rounds - 1:03d}"] if rounds > 1 \
+                else ["canon_init"]
+            e = mgr.save(
+                f"star_round_{rounds:03d}", e, upstream=upstream,
+                t_start=t0,
+                extra={"round": rounds,
+                       "checksum": [int(cur[0]), int(cur[1])],
+                       "input_edges": int(n_edges)}).materialize()
+            if _fail_after_round is not None and rounds >= _fail_after_round:
+                raise RuntimeError(
+                    f"injected failure after star round {rounds}")
         edges = e
         if cur == prev:
             converged = True

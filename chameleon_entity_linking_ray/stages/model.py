@@ -161,15 +161,45 @@ def _cosine_01(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ((cos + 1.0) * 0.5).astype(np.float32)
 
 
+def resolve_device(device: str) -> str:
+    """Device knob with the reference's CPU-fallback semantics
+    (``torch.device('cuda' if torch.cuda.is_available() else 'cpu')``,
+    /root/reference/CrossEncoder/model.py:29-33 and
+    /root/reference/BiEncoder/model.py:68-70): ``cuda``/``cuda:i`` is
+    accepted only when a GPU array backend is importable, else falls back
+    to ``cpu`` with a warning. The numpy forward always runs on CPU in
+    this build — the day a GPU exists, this is the single switch point
+    for the collate target."""
+    if device == "cpu":
+        return device
+    if device == "cuda" or device.startswith("cuda:"):
+        try:  # no torch/cupy in this sandbox; gate behind import-try
+            import cupy  # noqa: F401
+            return device
+        except ImportError:
+            import warnings
+            warnings.warn(
+                f"device={device!r} requested but no GPU backend is "
+                "importable; falling back to cpu (reference semantics)",
+                RuntimeWarning, stacklevel=2)
+            return "cpu"
+    raise ValueError(f"unknown device {device!r}; expected 'cpu', 'cuda' "
+                     "or 'cuda:<i>'")
+
+
 class ModelPairScorer:
     """Model-backed scoring actor over candidate pairs (protocol of
-    ``stages/scoring.PairScorer``; see module docstring for anatomy)."""
+    ``stages/scoring.PairScorer``; see module docstring for anatomy).
+    ``device`` mirrors the reference's collate target
+    (CrossEncoder/model.py:29-33); resolved via ``resolve_device``."""
 
     def __init__(self, config: LinkageConfig | None = None,
                  weights_ref=None, stats_ref=None, mode: str = "bi",
-                 infer_batch: int = 64, use_entity_markers: bool = True):
+                 infer_batch: int = 64, use_entity_markers: bool = True,
+                 device: str = "cpu"):
         # once per actor: fetch broadcast weights + IDF stats (model load)
         self.c = config or LinkageConfig()
+        self.device = resolve_device(device)
         self.w: SyntheticWeights = (ray.get(weights_ref)
                                     if weights_ref is not None
                                     else SyntheticWeights())

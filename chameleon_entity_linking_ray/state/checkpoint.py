@@ -51,7 +51,7 @@ class CheckpointManager:
         return ray.data.read_parquet(os.path.join(self.root, stage))
 
     def save(self, stage: str, ds: "ray.data.Dataset", upstream: list[str],
-             t_start: float) -> "ray.data.Dataset":
+             t_start: float, extra: dict | None = None) -> "ray.data.Dataset":
         """Write atomically, record lineage + metrics, return re-read dataset
         (so downstream stages consume the durable copy, making a kill after
         this point resumable)."""
@@ -76,6 +76,7 @@ class CheckpointManager:
             "upstream": upstream,
             "wall_sec": round(time.time() - t_start, 3),
             "path": final,
+            **(extra or {}),
         }
         self._save()
         return out

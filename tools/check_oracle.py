@@ -40,17 +40,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-
-    import ray
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
-    from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
-
+def run_sweep(sf_dir: str, only: set[str] | None = None,
+              echo=print) -> list[str]:
+    """Run every queries() entry vs its DuckDB oracle on ``sf_dir``;
+    return the list of failing query names (empty = ALL GREEN). Assumes
+    Ray is already initialized (the caller owns the session — the
+    pytest ``-m sweep`` gate reuses the test session's)."""
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
 
@@ -70,37 +65,51 @@ def main() -> int:
             mine = canon(to_pandas(fn(sf_dir)))
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: ray error {type(e).__name__}: {e}")
+            echo(f"FAIL {name}: ray error {type(e).__name__}: {e}")
             continue
         dt = time.time() - t0
         if name not in oracles:
-            print(f"ok?  {name}: rows={len(mine)} ({dt:.1f}s) [rows-only, no oracle]")
+            echo(f"ok?  {name}: rows={len(mine)} ({dt:.1f}s) [rows-only, no oracle]")
             continue
         try:
             gold = canon(con.sql(oracles[name]).df())
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: oracle error {e}")
+            echo(f"FAIL {name}: oracle error {e}")
             continue
         if list(mine.columns) != list(gold.columns):
             failures.append(name)
-            print(f"FAIL {name}: columns {list(mine.columns)} != {list(gold.columns)}")
+            echo(f"FAIL {name}: columns {list(mine.columns)} != {list(gold.columns)}")
             continue
         if len(mine) != len(gold):
             failures.append(name)
-            print(f"FAIL {name}: rows {len(mine)} != {len(gold)}")
+            echo(f"FAIL {name}: rows {len(mine)} != {len(gold)}")
             continue
         if not mine.equals(gold):
             neq = (mine != gold) & ~(mine.isna() & gold.isna())
             bad = neq.any(axis=1)
             failures.append(name)
-            print(f"FAIL {name}: {int(bad.sum())}/{len(mine)} rows differ; first:")
-            print(pd.concat([mine[bad].head(3).add_suffix("_ray"),
-                             gold[bad].head(3).add_suffix("_sql")], axis=1))
+            echo(f"FAIL {name}: {int(bad.sum())}/{len(mine)} rows differ; first:")
+            echo(pd.concat([mine[bad].head(3).add_suffix("_ray"),
+                            gold[bad].head(3).add_suffix("_sql")], axis=1))
             continue
-        print(f"PASS {name}: rows={len(mine)} ({dt:.1f}s)")
-    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL GREEN")
-    return 1 if failures else 0
+        echo(f"PASS {name}: rows={len(mine)} ({dt:.1f}s)")
+    echo(f"\n{len(failures)} failures: {failures}" if failures else "\nALL GREEN")
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    return 1 if run_sweep(sf_dir, only) else 0
 
 
 if __name__ == "__main__":
