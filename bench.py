@@ -179,10 +179,12 @@ def main() -> None:
             for cpus in ((lo, hi) if rnd % 2 == 0 else (hi, lo)):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
                            GRAFT_BENCH_CONVS=str(SF1_CONVS))
+                # the low arm at 2 cpus runs ~45 min healthy on 400M turns;
+                # leave headroom for a degraded host window
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--linkage-only"],
-                    env=env, capture_output=True, text=True, timeout=5400)
+                    env=env, capture_output=True, text=True, timeout=10800)
                 line = [l for l in proc.stdout.splitlines()
                         if l.startswith("{")][-1]
                 samples[cpus].append(json.loads(line))
