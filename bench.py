@@ -185,9 +185,16 @@ def main() -> None:
                     [sys.executable, os.path.abspath(__file__),
                      "--linkage-only"],
                     env=env, capture_output=True, text=True, timeout=10800)
-                line = [l for l in proc.stdout.splitlines()
-                        if l.startswith("{")][-1]
-                samples[cpus].append(json.loads(line))
+                lines = [l for l in proc.stdout.splitlines()
+                         if l.startswith("{")]
+                if not lines:  # surface the child's crash, don't IndexError
+                    sys.stderr.write(
+                        f"sf1 child (cpus={cpus}) exited rc={proc.returncode}"
+                        f" with no JSON; stderr tail:\n"
+                        + "\n".join(proc.stderr.splitlines()[-40:]) + "\n")
+                    raise RuntimeError(f"sf1 scaling child failed at "
+                                       f"cpus={cpus}")
+                samples[cpus].append(json.loads(lines[-1]))
                 time.sleep(20)
 
         def median(vals: list[float]) -> float:
